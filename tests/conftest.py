@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+Tests run on the CPU backend with 8 virtual devices so sharding paths
+(mesh/pjit/shard_map) are exercised without TPU hardware. Environment must be
+set before jax is first imported anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh():
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+
+    devices = np.array(jax.devices()).reshape(4, 2)
+    with Mesh(devices, ("data", "model")) as mesh:
+        yield mesh
