@@ -1,0 +1,189 @@
+"""Static-shape temporal window engine for STTN inference.
+
+The reference walks a python loop per window, gathering a ragged
+neighbor+reference frame set and calling the transformer on it
+(backend/inpaint/sttn_auto_inpaint.py:142-162). On TPU that would retrace per
+window length and serialize tiny kernels, so this engine:
+
+1. pads every chunk to a fixed length T (``clip_len``) — one XLA program for
+   the whole video;
+2. precomputes, per chunk on the host, an index matrix [Wn, L] selecting each
+   window's neighbor and reference slots, plus a validity mask for padded /
+   out-of-range slots (L = n_max + r_max is static);
+3. runs encode(all frames) -> gather -> transformer over a *batch of windows*
+   -> decode(neighbor slots), entirely jitted; window batches stream through
+   ``lax.map`` to bound activation memory;
+4. returns per-window uint8 predictions; the (cheap) overlap-average
+   compositing runs on host in the reference's exact sequential order,
+   reproducing its 0.5/0.5 uint8 blend semantics.
+
+Masked attention guarantees the padded computation equals the ragged one
+(tested in tests/test_ops.py::test_padding_mask_equals_subset).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def window_starts(t: int, stride: int) -> List[int]:
+    return list(range(0, t, stride))
+
+
+def neighbor_ids(f: int, t: int, stride: int) -> List[int]:
+    """Window at f covers [f-stride, f+stride] clamped (ref :144)."""
+    return list(range(max(0, f - stride), min(t, f + stride + 1)))
+
+
+def ref_ids(neighbors: List[int], t: int, ref_length: int) -> List[int]:
+    """Global refs every ref_length frames, excluding neighbors (ref :107-120)."""
+    ns = set(neighbors)
+    return [i for i in range(0, t, ref_length) if i not in ns]
+
+
+def build_window_index(
+    t_valid: int,
+    t_padded: int,
+    stride: int,
+    ref_length: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Build gather indices for all windows of a chunk.
+
+    Returns (idx [Wn, L] int32, valid [Wn, L] bool, n_max). Slot layout per
+    window: [n_max neighbor slots | r_max reference slots]. Wn and L depend
+    only on (t_padded, stride, ref_length) so compiled shapes are stable
+    across chunks; t_valid only changes the *values*.
+    """
+    n_max = 2 * stride + 1
+    r_max = math.ceil(t_padded / ref_length)
+    wn = math.ceil(t_padded / stride)
+    L = n_max + r_max
+    idx = np.zeros((wn, L), np.int32)
+    valid = np.zeros((wn, L), bool)
+    for w, f in enumerate(window_starts(t_padded, stride)):
+        if f >= t_valid:
+            continue  # fully padded window; outputs discarded
+        ns = neighbor_ids(f, t_valid, stride)
+        rs = ref_ids(ns, t_valid, ref_length)
+        idx[w, : len(ns)] = ns
+        valid[w, : len(ns)] = True
+        idx[w, n_max : n_max + len(rs)] = rs
+        valid[w, n_max : n_max + len(rs)] = True
+    return idx, valid, n_max
+
+
+class STTNWindowEngine:
+    """Jitted chunk processor around an STTNGenerator."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        clip_len: int,
+        input_hw: Tuple[int, int],
+        stride: int = 5,
+        ref_length: int = 10,
+        window_batch: int = 0,
+        donate: bool = True,
+    ):
+        self.model = model
+        self.params = params
+        self.clip_len = clip_len
+        self.input_hw = input_hw
+        self.stride = stride
+        self.ref_length = ref_length
+        self.n_max = 2 * stride + 1
+        self.r_max = math.ceil(clip_len / ref_length)
+        self.num_windows = math.ceil(clip_len / stride)
+        self.window_batch = window_batch if window_batch > 0 else self.num_windows
+        # pad window count to a multiple of window_batch for lax.map
+        self.num_windows_padded = (
+            math.ceil(self.num_windows / self.window_batch) * self.window_batch
+        )
+        self._step = jax.jit(self._chunk_step)
+
+    # ---- device program ----
+    def _chunk_step(self, params, frames_u8, idx, valid):
+        """frames_u8: [T, H, W, 3] BGR uint8; idx/valid: [Wn_p, L].
+
+        Returns [Wn_p, n_max, H, W, 3] BGR uint8 predictions.
+        """
+        x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0 * 2.0 - 1.0  # RGB [-1,1]
+        feats = self.model.apply(params, x, method=self.model.encode)  # [T,h,w,C]
+
+        def window_batch_fn(args):
+            widx, wvalid = args  # [wb, L], [wb, L]
+            wf = feats[widx]  # [wb, L, h, w, C]
+            wf = jnp.where(wvalid[..., None, None, None], wf, 0.0)
+            out = self.model.apply(
+                params, wf, wvalid, None, method=self.model.transform
+            )
+            nb = out[:, : self.n_max]  # neighbor slots only
+            wb, n, h, w, c = nb.shape
+            dec = self.model.apply(
+                params, nb.reshape(wb * n, h, w, c), method=self.model.decode
+            )
+            return dec.reshape(wb, n, dec.shape[1], dec.shape[2], 3)
+
+        wb = self.window_batch
+        widx = idx.reshape(-1, wb, idx.shape[-1])
+        wvalid = valid.reshape(-1, wb, valid.shape[-1])
+        preds = jax.lax.map(window_batch_fn, (widx, wvalid))
+        preds = preds.reshape(-1, self.n_max, *preds.shape[-3:])
+        u8 = jnp.clip((preds + 1.0) * 0.5 * 255.0, 0, 255).astype(jnp.uint8)
+        return u8[..., ::-1]  # RGB -> BGR
+
+    # ---- host driver ----
+    def process_chunk(self, frames: np.ndarray) -> np.ndarray:
+        """Inpaint one chunk.
+
+        frames: [T', H, W, 3] BGR uint8 with T' <= clip_len (model input size).
+        Returns [T', H, W, 3] BGR uint8 composited predictions.
+        """
+        t_valid = len(frames)
+        assert 0 < t_valid <= self.clip_len, (t_valid, self.clip_len)
+        h, w = self.input_hw
+        assert frames.shape[1:] == (h, w, 3), frames.shape
+
+        padded = frames
+        if t_valid < self.clip_len:
+            pad = np.repeat(frames[-1:], self.clip_len - t_valid, axis=0)
+            padded = np.concatenate([frames, pad], axis=0)
+
+        idx, valid, _ = build_window_index(
+            t_valid, self.clip_len, self.stride, self.ref_length
+        )
+        if self.num_windows_padded > idx.shape[0]:
+            extra = self.num_windows_padded - idx.shape[0]
+            idx = np.concatenate([idx, np.zeros((extra, idx.shape[1]), idx.dtype)])
+            valid = np.concatenate([valid, np.zeros((extra, valid.shape[1]), bool)])
+
+        preds = np.asarray(
+            self._step(self.params, jnp.asarray(padded), jnp.asarray(idx),
+                       jnp.asarray(valid))
+        )
+        return self._composite(preds, t_valid)
+
+    def _composite(self, preds: np.ndarray, t_valid: int) -> np.ndarray:
+        """Sequential overlap average in reference order (ref :152-162):
+        first window writes uint8; later overlaps blend 0.5/0.5 in float."""
+        comp: List[Optional[np.ndarray]] = [None] * t_valid
+        for w, f in enumerate(window_starts(t_valid, self.stride)):
+            ns = neighbor_ids(f, t_valid, self.stride)
+            for slot, frame_idx in enumerate(ns):
+                img = preds[w, slot]
+                prev = comp[frame_idx]
+                if prev is None:
+                    comp[frame_idx] = img
+                else:
+                    comp[frame_idx] = (
+                        prev.astype(np.float32) * 0.5 + img.astype(np.float32) * 0.5
+                    )
+        return np.stack([c.astype(np.uint8) for c in comp])

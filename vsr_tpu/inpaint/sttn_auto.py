@@ -1,0 +1,199 @@
+"""STTN-auto inpainting mode: fixed-mask temporal inpaint, no detection.
+
+Capability parity with STTNInpaint/STTNAutoInpaint
+(backend/inpaint/sttn_auto_inpaint.py:28-336): the mask's full-width bands of
+height split_h = W*3/16 are cropped, resized to 640x120, inpainted by the
+window engine, and blended back under the mask. Streaming runs in chunks of
+``clip_gap`` frames.
+
+Host/device split: band crop + cv2 resizes + mask blend stay on the host (cv2
+bilinear, matching reference resampling exactly — see SURVEY.md §7 "bit-parity
+pitfalls"); everything between (normalize, encoder, windows, transformer,
+decode, uint8 pack) is one jitted program per chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+import jax.numpy as jnp
+
+from vsr_tpu.config import Config
+from vsr_tpu.inpaint.engine import STTNWindowEngine
+from vsr_tpu.inpaint.weights import load_or_init_params
+from vsr_tpu.masks.intervals import is_frame_number_in_ab_sections
+from vsr_tpu.masks.mask import binarize_mask
+from vsr_tpu.masks.solver import get_inpaint_area_by_mask
+from vsr_tpu.models.sttn import STTN_AUTO_INPUT_SIZE, STTNGenerator
+
+
+class STTNAutoInpainter:
+    """Uniform inpainter contract: __call__(frames, mask) -> frames.
+
+    Also exposes process_video() for the streaming chunked path used by the
+    pipeline orchestrator.
+    """
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        config: Optional[Config] = None,
+        input_size=STTN_AUTO_INPUT_SIZE,
+    ):
+        self.config = config or Config()
+        self.model_input_width, self.model_input_height = input_size
+        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        self.model = STTNGenerator(variant="auto", dtype=dtype)
+        self.params = load_or_init_params(
+            self.model,
+            (jnp.zeros((1, 1, self.model_input_height, self.model_input_width, 3)),),
+            checkpoint_path,
+        )
+        self.clip_gap = self.config.get_sttn_max_load_num()
+        self._engines = {}
+
+    def _engine(self, clip_len: int) -> STTNWindowEngine:
+        """One engine (and one compiled program) per chunk length actually used."""
+        if clip_len not in self._engines:
+            self._engines[clip_len] = STTNWindowEngine(
+                self.model,
+                self.params,
+                clip_len=clip_len,
+                input_hw=(self.model_input_height, self.model_input_width),
+                stride=self.config.sttn_neighbor_stride,
+                ref_length=self.config.sttn_reference_length,
+                window_batch=self.config.window_batch,
+            )
+        return self._engines[clip_len]
+
+    # ---- band helpers ----
+    def _split_h(self, width: int) -> int:
+        return int(width * 3 / 16)  # ref :54,217
+
+    def _crop_and_resize(self, frame: np.ndarray, band) -> np.ndarray:
+        ymin, ymax, _, _ = band
+        crop = frame[ymin:ymax, :, :]
+        return cv2.resize(crop, (self.model_input_width, self.model_input_height))
+
+    def _paste_band(
+        self,
+        frame: np.ndarray,
+        comp: np.ndarray,
+        band,
+        mask01: np.ndarray,
+        width: int,
+        split_h: int,
+    ) -> None:
+        """Blend the inpainted band back: mask*comp + (1-mask)*frame (ref :91)."""
+        ymin, ymax, _, _ = band
+        comp = cv2.resize(comp, (width, split_h)).astype(np.uint8)
+        region = mask01[ymin:ymax, :]
+        frame[ymin:ymax, :, :] = (
+            region * comp + (1 - region) * frame[ymin:ymax, :, :]
+        )
+
+    # ---- list-in/list-out contract (ref STTNInpaint.__call__ :43-97) ----
+    def __call__(
+        self, input_frames: List[np.ndarray], input_mask: np.ndarray
+    ) -> List[np.ndarray]:
+        mask01 = binarize_mask(input_mask)
+        H, W = mask01.shape[:2]
+        split_h = self._split_h(W)
+        bands = get_inpaint_area_by_mask(W, H, split_h, mask01)
+        if not bands:
+            return [f.copy() for f in input_frames]
+        out = [f.copy() for f in input_frames]
+        for band in bands:
+            scaled = np.stack([self._crop_and_resize(f, band) for f in input_frames])
+            comps = self._inpaint_scaled(scaled)
+            for j in range(len(out)):
+                self._paste_band(out[j], comps[j], band, mask01, W, split_h)
+        return out
+
+    def _inpaint_scaled(self, scaled: np.ndarray) -> np.ndarray:
+        """Run the engine over [T, 120, 640, 3], chunking by clip_gap."""
+        t = len(scaled)
+        clip = min(self.clip_gap, max(t, self.config.sttn_reference_length))
+        engine = self._engine(clip)
+        outs = []
+        for s in range(0, t, clip):
+            outs.append(engine.process_chunk(scaled[s : s + clip]))
+        return np.concatenate(outs, axis=0)
+
+    # ---- streaming video path (ref STTNAutoInpaint.__call__ :199-336) ----
+    def process_video(
+        self,
+        reader,
+        writer,
+        input_mask: np.ndarray,
+        frame_count: int,
+        size,  # (W, H)
+        ab_sections=None,
+        progress_cb: Optional[Callable[[int], None]] = None,
+        preview_cb: Optional[Callable[[np.ndarray, np.ndarray], None]] = None,
+    ) -> int:
+        """Stream the whole video through chunked band inpainting.
+
+        reader: object with read() -> (ok, BGR frame); writer: write(frame).
+        Returns number of frames written.
+        """
+        W, H = size
+        split_h = self._split_h(W)
+        mask01 = binarize_mask(input_mask)
+        bands = get_inpaint_area_by_mask(W, H, split_h, mask01)
+        clip = self.clip_gap
+        engine = self._engine(clip) if bands else None
+
+        written = 0
+        frame_no = 0
+        while written < frame_count:
+            frames_hr: List[np.ndarray] = []
+            in_section: List[bool] = []
+            while len(frames_hr) < clip:
+                ok, frame = reader.read()
+                if not ok:
+                    break
+                frames_hr.append(frame)
+                in_section.append(
+                    is_frame_number_in_ab_sections(frame_no, ab_sections)
+                )
+                frame_no += 1
+            if not frames_hr:
+                break
+
+            if bands:
+                # gather processed subset (AB sections may skip frames)
+                proc_idx = [i for i, p in enumerate(in_section) if p]
+                comps_per_band = []
+                if proc_idx:
+                    for band in bands:
+                        scaled = np.stack(
+                            [self._crop_and_resize(frames_hr[i], band) for i in proc_idx]
+                        )
+                        comps_per_band.append(engine.process_chunk(scaled))
+                proc_map = {i: j for j, i in enumerate(proc_idx)}
+                for i, frame in enumerate(frames_hr):
+                    original = frame.copy() if preview_cb else None
+                    if i in proc_map:
+                        for band, comps in zip(bands, comps_per_band):
+                            self._paste_band(
+                                frame, comps[proc_map[i]], band, mask01, W, split_h
+                            )
+                    writer.write(frame)
+                    written += 1
+                    if progress_cb:
+                        progress_cb(1)
+                    if preview_cb:
+                        preview_cb(original, frame)
+            else:
+                for frame in frames_hr:
+                    writer.write(frame)
+                    written += 1
+                    if progress_cb:
+                        progress_cb(1)
+            if len(frames_hr) < clip:
+                break  # reader exhausted
+        return written
