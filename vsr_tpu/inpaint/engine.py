@@ -91,7 +91,7 @@ class STTNWindowEngine:
         stride: int = 5,
         ref_length: int = 10,
         window_batch: int = 0,
-        donate: bool = True,
+        masked: bool = False,
     ):
         self.model = model
         self.params = params
@@ -99,6 +99,7 @@ class STTNWindowEngine:
         self.input_hw = input_hw
         self.stride = stride
         self.ref_length = ref_length
+        self.masked = masked  # det variant: masked encoder input + attention
         self.n_max = 2 * stride + 1
         self.r_max = math.ceil(clip_len / ref_length)
         self.num_windows = math.ceil(clip_len / stride)
@@ -110,20 +111,28 @@ class STTNWindowEngine:
         self._step = jax.jit(self._chunk_step)
 
     # ---- device program ----
-    def _chunk_step(self, params, frames_u8, idx, valid):
-        """frames_u8: [T, H, W, 3] BGR uint8; idx/valid: [Wn_p, L].
+    def _chunk_step(self, params, frames_u8, idx, valid, masks=None):
+        """frames_u8: [T, H, W, 3] BGR uint8; idx/valid: [Wn_p, L];
+        masks (det variant): [T, H, W] float {0,1} hole masks.
 
         Returns [Wn_p, n_max, H, W, 3] BGR uint8 predictions.
         """
         x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0 * 2.0 - 1.0  # RGB [-1,1]
+        feat_masks = None
+        if masks is not None:
+            # hole pixels removed from the encoder input (ref
+            # sttn_det_inpaint.py:143) and nearest-1/4 mask fed to attention
+            x = x * (1.0 - masks[..., None])
+            feat_masks = masks[:, ::4, ::4]
         feats = self.model.apply(params, x, method=self.model.encode)  # [T,h,w,C]
 
         def window_batch_fn(args):
             widx, wvalid = args  # [wb, L], [wb, L]
             wf = feats[widx]  # [wb, L, h, w, C]
             wf = jnp.where(wvalid[..., None, None, None], wf, 0.0)
+            wm = feat_masks[widx] if feat_masks is not None else None
             out = self.model.apply(
-                params, wf, wvalid, None, method=self.model.transform
+                params, wf, wvalid, wm, method=self.model.transform
             )
             nb = out[:, : self.n_max]  # neighbor slots only
             wb, n, h, w, c = nb.shape
@@ -141,16 +150,21 @@ class STTNWindowEngine:
         return u8[..., ::-1]  # RGB -> BGR
 
     # ---- host driver ----
-    def process_chunk(self, frames: np.ndarray) -> np.ndarray:
+    def process_chunk(
+        self, frames: np.ndarray, masks: Optional[np.ndarray] = None
+    ) -> np.ndarray:
         """Inpaint one chunk.
 
         frames: [T', H, W, 3] BGR uint8 with T' <= clip_len (model input size).
+        masks (det variant): [T', H, W] binary {0,1}; prediction replaces only
+        hole pixels before the overlap average (ref sttn_det_inpaint.py:168).
         Returns [T', H, W, 3] BGR uint8 composited predictions.
         """
         t_valid = len(frames)
         assert 0 < t_valid <= self.clip_len, (t_valid, self.clip_len)
         h, w = self.input_hw
         assert frames.shape[1:] == (h, w, 3), frames.shape
+        assert (masks is not None) == self.masked
 
         padded = frames
         if t_valid < self.clip_len:
@@ -165,20 +179,38 @@ class STTNWindowEngine:
             idx = np.concatenate([idx, np.zeros((extra, idx.shape[1]), idx.dtype)])
             valid = np.concatenate([valid, np.zeros((extra, valid.shape[1]), bool)])
 
-        preds = np.asarray(
-            self._step(self.params, jnp.asarray(padded), jnp.asarray(idx),
-                       jnp.asarray(valid))
-        )
-        return self._composite(preds, t_valid)
+        args = [self.params, jnp.asarray(padded), jnp.asarray(idx), jnp.asarray(valid)]
+        if self.masked:
+            padded_masks = masks.astype(np.float32)
+            if t_valid < self.clip_len:
+                mpad = np.repeat(padded_masks[-1:], self.clip_len - t_valid, axis=0)
+                padded_masks = np.concatenate([padded_masks, mpad], axis=0)
+            args.append(jnp.asarray(padded_masks))
+        preds = np.asarray(self._step(*args))
+        return self._composite(preds, t_valid, frames, masks)
 
-    def _composite(self, preds: np.ndarray, t_valid: int) -> np.ndarray:
+    def _composite(
+        self,
+        preds: np.ndarray,
+        t_valid: int,
+        frames: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         """Sequential overlap average in reference order (ref :152-162):
-        first window writes uint8; later overlaps blend 0.5/0.5 in float."""
+        first window writes uint8; later overlaps blend 0.5/0.5 in float. In
+        the masked (det) variant, predictions first blend with the source
+        frame under the hole mask (ref sttn_det_inpaint.py:165-172)."""
+        bmask = None
+        if masks is not None:
+            bmask = (masks > 0.5).astype(np.uint8)[..., None]
         comp: List[Optional[np.ndarray]] = [None] * t_valid
         for w, f in enumerate(window_starts(t_valid, self.stride)):
             ns = neighbor_ids(f, t_valid, self.stride)
             for slot, frame_idx in enumerate(ns):
                 img = preds[w, slot]
+                if bmask is not None:
+                    img = (img * bmask[frame_idx]
+                           + frames[frame_idx] * (1 - bmask[frame_idx]))
                 prev = comp[frame_idx]
                 if prev is None:
                     comp[frame_idx] = img

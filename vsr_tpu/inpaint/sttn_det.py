@@ -1,0 +1,116 @@
+"""STTN-det inpainting mode: mask-aware temporal inpaint at 432x240.
+
+Capability parity with STTNDetInpaint (backend/inpaint/sttn_det_inpaint.py:
+23-174): band height is H*5/9 (portrait) or W*5/18 (landscape); the hole mask
+is resized alongside each band crop, the encoder sees masked frames, attention
+sees the 1/4-scale mask, predictions replace only hole pixels before the
+overlap average, and the paste-back overwrites the whole band (ref :93 — the
+composite already contains source pixels outside the hole).
+
+Deliberate divergence: the reference composites the RGB model prediction
+against BGR source crops and then channel-swaps the blend as a whole
+(sttn_det_inpaint.py:168 + :89), which writes channel-swapped source pixels
+outside the hole but inside the band. Here prediction and source are blended
+in the same (BGR) space, so non-hole pixels pass through exactly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+import jax.numpy as jnp
+
+from vsr_tpu.config import Config
+from vsr_tpu.inpaint.engine import STTNWindowEngine
+from vsr_tpu.inpaint.weights import load_or_init_params
+from vsr_tpu.masks.solver import get_inpaint_area_by_mask
+from vsr_tpu.models.sttn import STTN_DET_INPUT_SIZE, STTNGenerator
+
+
+class STTNDetInpainter:
+    """Uniform inpainter contract: __call__(frames, mask) -> frames."""
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        config: Optional[Config] = None,
+        input_size=STTN_DET_INPUT_SIZE,
+        apply_attention_mask: bool = True,
+    ):
+        self.config = config or Config()
+        self.model_input_width, self.model_input_height = input_size
+        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        self.model = STTNGenerator(
+            variant="det", dtype=dtype, apply_attention_mask=apply_attention_mask
+        )
+        h, w = self.model_input_height, self.model_input_width
+        self.params = load_or_init_params(
+            self.model,
+            (jnp.zeros((1, 1, h, w, 3)), jnp.zeros((1, 1, h, w, 1))),
+            checkpoint_path,
+        )
+        self._engines = {}
+
+    def _engine(self, clip_len: int) -> STTNWindowEngine:
+        if clip_len not in self._engines:
+            self._engines[clip_len] = STTNWindowEngine(
+                self.model,
+                self.params,
+                clip_len=clip_len,
+                input_hw=(self.model_input_height, self.model_input_width),
+                stride=self.config.sttn_neighbor_stride,
+                ref_length=self.config.sttn_reference_length,
+                window_batch=self.config.window_batch,
+                masked=True,
+            )
+        return self._engines[clip_len]
+
+    def _split_h(self, height: int, width: int) -> int:
+        if height > width:
+            return int(height * 5 / 9)
+        return int(width * 5 / 18)
+
+    def __call__(
+        self, input_frames: List[np.ndarray], input_mask: np.ndarray
+    ) -> List[np.ndarray]:
+        mask = np.asarray(input_mask)
+        if mask.ndim == 2:
+            mask = mask[:, :, None]
+        H, W = mask.shape[:2]
+        split_h = self._split_h(H, W)
+        bands = get_inpaint_area_by_mask(W, H, split_h, mask)
+        out = [f.copy() for f in input_frames]
+        if not bands:
+            return out
+
+        size = (self.model_input_width, self.model_input_height)
+        for band in bands:
+            ymin, ymax = band[0], band[1]
+            scaled = np.stack(
+                [cv2.resize(f[ymin:ymax, :, :], size) for f in input_frames]
+            )
+            mask_crop = mask[ymin:ymax, :, :]
+            scaled_mask = cv2.resize(mask_crop, size)
+            binary = (scaled_mask > 0.5).astype(np.float32)
+            masks = np.repeat(binary[None], len(input_frames), axis=0)
+            comps = self._inpaint_scaled(scaled, masks)
+            for j in range(len(out)):
+                comp = cv2.resize(comps[j], (W, split_h)).astype(np.uint8)
+                # full band overwrite (ref :93)
+                out[j][ymin:ymax, :, :] = comp
+        return out
+
+    def _inpaint_scaled(self, scaled: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        t = len(scaled)
+        clip = min(
+            self.config.get_sttn_max_load_num(),
+            max(t, self.config.sttn_reference_length),
+        )
+        engine = self._engine(clip)
+        outs = []
+        for s in range(0, t, clip):
+            outs.append(engine.process_chunk(scaled[s : s + clip], masks[s : s + clip]))
+        return np.concatenate(outs, axis=0)
