@@ -1,0 +1,145 @@
+"""LaMa tests: FFC generator forward, transpose-conv torch parity, wrapper
+contract, pad-to-modulo."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vsr_tpu.config import Config
+from vsr_tpu.inpaint.lama import LamaInpainter, pad_to_modulo
+from vsr_tpu.models.lama import FourierUnit, LamaGenerator
+
+
+class TestConvTransposeParity:
+    def test_k3s2p1op1_matches_torch(self):
+        """torch ConvTranspose2d(k3,s2,p1,output_padding=1) == flax
+        ConvTranspose with explicit ((1,2),(1,2)) padding (the decoder's
+        upsample convention — conversion depends on this)."""
+        torch = pytest.importorskip("torch")
+        import flax.linen as fnn
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 5, 7, 4)).astype(np.float32)
+        w = rng.standard_normal((4, 6, 3, 3)).astype(np.float32)  # (in, out, kh, kw)
+
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w),
+            stride=2, padding=1, output_padding=1,
+        ).permute(0, 2, 3, 1).numpy()
+
+        conv = fnn.ConvTranspose(6, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)), use_bias=False,
+                                 transpose_kernel=True)
+        # flax transpose_kernel=True expects (kh, kw, out, in)
+        params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}
+        mine = np.asarray(conv.apply(params, jnp.asarray(x)))
+        assert mine.shape == ref.shape == (1, 10, 14, 6)
+        np.testing.assert_allclose(mine, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestFourierUnit:
+    def test_shape_preserved(self):
+        fu = FourierUnit(8)
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 16, 24, 8)).astype(np.float32))
+        params = fu.init(jax.random.PRNGKey(0), x)
+        out = fu.apply(params, x)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_fft_roundtrip_sanity(self):
+        # rfft2/irfft2 with ortho norm reconstructs exactly
+        x = np.random.default_rng(1).standard_normal((1, 8, 8)).astype(np.float32)
+        f = jnp.fft.rfft2(jnp.asarray(x), axes=(1, 2), norm="ortho")
+        back = jnp.fft.irfft2(f, s=(8, 8), axes=(1, 2), norm="ortho")
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_lama():
+    model = LamaGenerator(ngf=8, n_downsampling=2, n_blocks=2)
+    img = jnp.zeros((1, 32, 32, 3))
+    msk = jnp.zeros((1, 32, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), img, msk)
+    return model, params
+
+
+class TestLamaGenerator:
+    def test_forward_shape_and_range(self, tiny_lama):
+        model, params = tiny_lama
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 1, (2, 32, 48, 3)).astype(np.float32))
+        msk = jnp.zeros((2, 32, 48, 1)).at[:, 10:20, 10:30].set(1.0)
+        out = model.apply(params, img, msk)
+        assert out.shape == (2, 32, 48, 3)
+        o = np.asarray(out)
+        assert (o >= 0).all() and (o <= 1).all()
+
+    def test_mask_position_influences_output(self, tiny_lama):
+        model, params = tiny_lama
+        img = jnp.asarray(np.random.default_rng(3)
+                          .uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        m1 = jnp.zeros((1, 32, 32, 1)).at[:, 4:12].set(1.0)
+        m2 = jnp.zeros((1, 32, 32, 1)).at[:, 20:28].set(1.0)
+        o1 = np.asarray(model.apply(params, img, m1))
+        o2 = np.asarray(model.apply(params, img, m2))
+        assert np.abs(o1 - o2).max() > 1e-6
+
+
+class TestPadToModulo:
+    def test_already_aligned(self):
+        x = np.zeros((16, 24, 3))
+        assert pad_to_modulo(x, 8).shape == (16, 24, 3)
+
+    def test_pads_up(self):
+        x = np.zeros((15, 21, 3))
+        assert pad_to_modulo(x, 8).shape == (16, 24, 3)
+
+    def test_2d(self):
+        assert pad_to_modulo(np.zeros((9, 9)), 8).shape == (16, 16)
+
+
+class TestLamaInpainterWrapper:
+    @pytest.fixture(scope="class")
+    def inpainter(self):
+        cfg = Config()
+        cfg.compute_dtype = "float32"
+        inp = LamaInpainter(config=cfg, n_blocks=2)
+        inp.model = LamaGenerator(ngf=8, n_downsampling=2, n_blocks=2)
+        inp.params = inp.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 1)))
+        import jax as _jax
+        inp._forward = _jax.jit(
+            lambda params, img, mask: inp.model.apply(params, img, mask))
+        return inp
+
+    def test_single_image_native_res(self, inpainter):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)  # not /8
+        mask = np.zeros((50, 70), np.uint8)
+        mask[20:30, 20:50] = 255
+        out = inpainter.inpaint(img, mask)
+        assert out.shape == (50, 70, 3)
+        assert out.dtype == np.uint8
+
+    def test_video_band_path(self, inpainter):
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        mask = np.zeros((96, 128), np.uint8)
+        mask[70:90, 20:110] = 255
+        out = inpainter(frames, mask)
+        assert len(out) == 5
+        # outside the band untouched
+        np.testing.assert_array_equal(out[1][:60], frames[1][:60])
+
+    def test_batch_tail_padding(self, inpainter):
+        rng = np.random.default_rng(6)
+        imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                for _ in range(6)]  # 4 + 2 tail
+        masks = [np.full((32, 32), 255, np.uint8)] * 6
+        out = inpainter.inpaint_batch(imgs, masks)
+        assert len(out) == 6
