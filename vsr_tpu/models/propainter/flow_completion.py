@@ -1,0 +1,241 @@
+"""Recurrent flow completion network (ProPainter stage 2) in flax.
+
+Capability parity with RecurrentFlowCompleteNet
+(backend/inpaint/video/model/recurrent_flow_completion.py:207-348):
+P3D conv encoder (spatial 2x/4x/8x downsample + dilated temporal convs),
+second-order deformable bidirectional propagation at 1/8 resolution, conv
+decoders with skip connections, bilinear-upsample head predicting completed
+flow; forward_bidirect_flow / combine_flow drive both directions.
+
+TPU-first: the sequential propagation is a lax.scan over time with
+(prev1, prev2) carried state; deformable alignment uses the gather+matmul
+modulated_deform_conv (ops/deform_conv.py); 3D convs run NDHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vsr_tpu.ops.deform_conv import modulated_deform_conv
+from vsr_tpu.ops.upsample import upsample_bilinear_2x_align_corners
+
+_PAD1 = ((1, 1), (1, 1))
+
+
+def _lrelu(x, s=0.2):
+    return nn.leaky_relu(x, negative_slope=s)
+
+
+class _Conv2d(nn.Module):
+    features: int
+    kernel: int = 3
+    pad: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       padding=((self.pad, self.pad), (self.pad, self.pad)),
+                       kernel_dilation=(self.dilation, self.dilation),
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="conv")(x)
+
+
+class SecondOrderDeformableAlignment(nn.Module):
+    """Deformable alignment over stacked (prev1, prev2) features
+    (recurrent_flow_completion.py:10-46)."""
+
+    channels: int  # output channels (input is 2*channels)
+    deform_groups: int = 16
+    max_residue_magnitude: float = 5.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, extra_feat: jnp.ndarray) -> jnp.ndarray:
+        """x [B, H, W, 2C]; extra_feat [B, H, W, 3C] -> [B, H, W, C]."""
+        c = self.channels
+        G = self.deform_groups
+        feat = extra_feat
+        for i in range(3):
+            feat = _lrelu(_Conv2d(c, dtype=self.dtype, name=f"off{i}")(feat), 0.1)
+        out = _Conv2d(27 * G, dtype=self.dtype, name="off3")(feat)
+        B, H, W, _ = out.shape
+        o1, o2, mask = jnp.split(out, 3, axis=-1)  # each 9G
+        offset = self.max_residue_magnitude * jnp.tanh(
+            jnp.concatenate([o1, o2], axis=-1))  # 18G
+        # torchvision layout: 2*G*9 channels as interleaved (dy, dx) pairs
+        offset = offset.reshape(B, H, W, G, 9, 2)
+        modulation = nn.sigmoid(mask).reshape(B, H, W, G, 9)
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], c), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return modulated_deform_conv(
+            x, offset, modulation, kernel.astype(self.dtype),
+            bias.astype(self.dtype))
+
+
+class _SweepStep(nn.Module):
+    """One time step of a second-order propagation sweep.
+
+    Carry: (prev1, prev2, step). Second-order state needs no explicit gating:
+    prev2 is zeros until step 2 by construction (it lags prev1 by one step and
+    both start at zeros); the alignment output itself is suppressed at step 0.
+    """
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        n1, n2, step = carry
+        feat_current, others = xs[0], list(xs[1:])
+        cond = jnp.concatenate([n1, feat_current, n2], axis=-1)
+        aligned = SecondOrderDeformableAlignment(
+            self.channels, dtype=self.dtype, name="align")(
+                jnp.concatenate([n1, n2], axis=-1), cond)
+        feat_prop = jnp.where(step > 0, aligned, jnp.zeros_like(aligned))
+        feat = jnp.concatenate([feat_current] + others + [feat_prop], axis=-1)
+        y = _lrelu(_Conv2d(self.channels, dtype=self.dtype, name="bb1")(feat), 0.1)
+        y = _Conv2d(self.channels, dtype=self.dtype, name="bb2")(y)
+        feat_prop = feat_prop + y
+        return (feat_prop, n1, step + 1), feat_prop
+
+
+class FlowBidirectionalPropagation(nn.Module):
+    """Second-order bidirectional propagation (recurrent_flow_completion.py:
+    49-128): backward then forward sweeps with deformable alignment, each an
+    nn.scan over time."""
+
+    channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, T, H, W, C] -> [B, T, H, W, C]."""
+        B, T, H, W, C = x.shape
+        scan = lambda name: nn.scan(
+            _SweepStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0, out_axes=0,
+        )(self.channels, self.dtype, name=name)
+
+        zeros = jnp.zeros((B, H, W, C), x.dtype)
+        init = (zeros, zeros, jnp.zeros((), jnp.int32))
+
+        seq = x.transpose(1, 0, 2, 3, 4)  # [T, B, H, W, C]
+        _, feats_backward = scan("backward")(init, (seq[::-1],))
+        feats_backward = feats_backward[::-1]
+        _, feats_forward = scan("forward")(init, (seq, feats_backward))
+
+        both = jnp.concatenate([feats_backward, feats_forward], axis=-1)
+        both = both.transpose(1, 0, 2, 3, 4).reshape(B * T, H, W, 2 * C)
+        fused = nn.Conv(C, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                        name="fusion")(both)
+        return fused.reshape(B, T, H, W, C) + x
+
+
+class _P3DBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T, H, W, C] (NDHWC 3D conv)."""
+        y = nn.Conv(self.features, (1, 3, 3),
+                    strides=(1, self.stride, self.stride),
+                    padding=((0, 0), (1, 1), (1, 1)), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        y = _lrelu(y)
+        y = nn.Conv(self.features, (3, 1, 1), strides=(1, 1, 1),
+                    padding=((2, 2), (0, 0), (0, 0)),
+                    kernel_dilation=(2, 1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv2")(y)
+        return y
+
+
+class _Deconv(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_bilinear_2x_align_corners(x)
+        return nn.Conv(self.features, (3, 3), padding=_PAD1, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")(x)
+
+
+class RecurrentFlowCompleteNet(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, masked_flows: jnp.ndarray, masks: jnp.ndarray):
+        """masked_flows [B, T, H, W, 2]; masks [B, T, H, W, 1] ->
+        completed flow [B, T, H, W, 2]."""
+        B, T, H, W, _ = masked_flows.shape
+        x = jnp.concatenate([masked_flows, masks], axis=-1).astype(self.dtype)
+
+        # downsample 2x: conv3d (1,5,5) s(1,2,2) replicate padding
+        xp = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+        x1 = _lrelu(nn.Conv(32, (1, 5, 5), strides=(1, 2, 2), padding="VALID",
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="down")(xp))
+
+        e1 = _lrelu(_P3DBlock(32, 1, self.dtype, name="enc1a")(x1))
+        e1 = _lrelu(_P3DBlock(64, 2, self.dtype, name="enc1b")(e1))  # 4x
+        e2 = _lrelu(_P3DBlock(64, 1, self.dtype, name="enc2a")(e1))
+        e2 = _lrelu(_P3DBlock(128, 2, self.dtype, name="enc2b")(e2))  # 8x
+
+        mid = e2
+        for i, dil in enumerate((3, 2, 1)):
+            mid = _lrelu(nn.Conv(128, (1, 3, 3),
+                                 padding=((0, 0), (dil, dil), (dil, dil)),
+                                 kernel_dilation=(1, dil, dil),
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name=f"mid{i}")(mid))
+
+        prop = FlowBidirectionalPropagation(128, self.dtype, name="prop")(mid)
+
+        flat = lambda v: v.reshape(B * T, *v.shape[2:])
+        d2 = _lrelu(_Conv2d(128, dtype=self.dtype, name="dec2a")(flat(prop)))
+        d2 = _lrelu(_Deconv(64, self.dtype, name="dec2b")(d2))  # 4x
+        d2 = d2 + flat(e1)
+
+        d1 = _lrelu(_Conv2d(64, dtype=self.dtype, name="dec1a")(d2))
+        d1 = _lrelu(_Deconv(32, self.dtype, name="dec1b")(d1))  # 2x
+
+        up = _lrelu(_Conv2d(32, dtype=self.dtype, name="upa")(d1))
+        flow = _Deconv(2, self.dtype, name="upb")(up)
+        return flow.reshape(B, T, H, W, 2).astype(jnp.float32)
+
+    def forward_bidirect_flow(
+        self, masked_flows_bi, masks: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """masked_flows_bi: (flows_f, flows_b) each [B, T-1, H, W, 2];
+        masks [B, T, H, W, 1] (ref :314-339)."""
+        masks_forward = masks[:, :-1]
+        masks_backward = masks[:, 1:]
+        flows_f = masked_flows_bi[0] * (1 - masks_forward)
+        flows_b = masked_flows_bi[1] * (1 - masks_backward)
+        pred_f = self(flows_f, masks_forward)
+        pred_b = self(flows_b[:, ::-1], masks_backward[:, ::-1])[:, ::-1]
+        return pred_f, pred_b
+
+    @staticmethod
+    def combine_flow(masked_flows_bi, pred_flows_bi, masks):
+        """Paste predictions only inside holes (ref :341-348)."""
+        masks_forward = masks[:, :-1]
+        masks_backward = masks[:, 1:]
+        out_f = (pred_flows_bi[0] * masks_forward
+                 + masked_flows_bi[0] * (1 - masks_forward))
+        out_b = (pred_flows_bi[1] * masks_backward
+                 + masked_flows_bi[1] * (1 - masks_backward))
+        return out_f, out_b
