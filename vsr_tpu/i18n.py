@@ -1,0 +1,72 @@
+"""User-facing string catalog with locale support.
+
+Replaces the reference's configparser .ini i18n (backend/config.py:123-126,
+backend/interface/*.ini). Strings live in-code as the English catalog;
+additional locales load from ini files in VSR_TPU_LOCALE_DIR with the same
+section/key layout, falling back to English per key.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from typing import Dict, Optional
+
+_EN: Dict[str, Dict[str, str]] = {
+    "Main": {
+        "FullScreenProcessingNote": "processing full frame (no subtitle area given)",
+        "SubtitleArea": "subtitle areas: {}",
+        "ABSection": "AB sections: {}",
+        "ABSectionAll": "all frames",
+        "ProcessingStartFindingSubtitles": "detecting subtitles...",
+        "FinishedFindingSubtitles": "subtitle detection finished",
+        "ProcessingStartRemovingSubtitles": "removing subtitles...",
+        "NoSubtitleDetected": "no subtitles detected in {}",
+        "FinishedProcessing": "finished: {}",
+        "ProcessingTime": "processing time: {}s",
+        "FailToExtractAudio": "failed to extract audio: {}",
+        "FailToMergeAudio": "failed to merge audio: {}",
+        "CopyFileFailed": "failed to copy {} to {}: {}",
+        "ReadImageFailed": "failed to read image: {}",
+        "SubtitleRemoverModel": "inpaint model: {}",
+        "SubtitleDetectionModel": "detection model: {}",
+    },
+    "InpaintMode": {
+        "STTN_AUTO": "STTN (auto)",
+        "STTN_DET": "STTN (detection)",
+        "LAMA": "LaMa",
+        "PROPAINTER": "ProPainter",
+        "OPENCV": "OpenCV",
+    },
+    "SubtitleDetectMode": {
+        "PP_OCRv5_MOBILE": "fast (mobile)",
+        "PP_OCRv5_SERVER": "precise (server)",
+    },
+}
+
+
+class Translator:
+    def __init__(self, locale: str = "en", locale_dir: Optional[str] = None):
+        self.locale = locale
+        self._catalog = {k: dict(v) for k, v in _EN.items()}
+        locale_dir = locale_dir or os.environ.get("VSR_TPU_LOCALE_DIR")
+        if locale != "en" and locale_dir:
+            path = os.path.join(locale_dir, f"{locale}.ini")
+            if os.path.exists(path):
+                parser = configparser.ConfigParser()
+                parser.optionxform = str  # preserve key case
+                parser.read(path, encoding="utf-8")
+                for section in parser.sections():
+                    self._catalog.setdefault(section, {}).update(
+                        dict(parser[section]))
+
+    def __getitem__(self, section: str) -> Dict[str, str]:
+        return self._catalog.get(section, {})
+
+    def text(self, section: str, key: str, *args) -> str:
+        template = self._catalog.get(section, {}).get(
+            key, _EN.get(section, {}).get(key, key))
+        return template.format(*args) if args else template
+
+
+tr = Translator()

@@ -11,11 +11,17 @@ window length and serialize tiny kernels, so this engine:
    window's neighbor and reference slots, plus a validity mask for padded /
    out-of-range slots (L = n_max + r_max is static);
 3. runs encode(all frames) -> gather -> transformer over a *batch of windows*
-   -> decode(neighbor slots), entirely jitted; window batches stream through
-   ``lax.map`` to bound activation memory;
-4. returns per-window uint8 predictions; the (cheap) overlap-average
-   compositing runs on host in the reference's exact sequential order,
-   reproducing its 0.5/0.5 uint8 blend semantics.
+   -> decode(neighbor slots) -> **overlap-average compositing**, entirely
+   jitted. Window batches stream through ``lax.map`` to bound activation
+   memory; the batch size is auto-snapped to a divisor of the window count so
+   no padded windows are computed.
+4. Compositing runs on device in the reference's exact sequential order
+   (first window truncates to uint8, later overlaps blend 0.5/0.5 in float,
+   final truncation — :152-162), so only the composited [T, H, W, 3] uint8
+   chunk crosses back to the host (4x less D2H than per-window predictions).
+
+``dispatch``/``fetch`` split exposes JAX's async dispatch: the host can
+paste-back/encode chunk i-1 while the device crunches chunk i.
 
 Masked attention guarantees the padded computation equals the ragged one
 (tested in tests/test_ops.py::test_padding_mask_equals_subset).
@@ -24,13 +30,14 @@ Masked attention guarantees the padded computation equals the ragged one
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+MAX_OVERLAPS = 3  # a frame is covered by at most 3 windows (stride-5 windows span ±5)
 
 
 def window_starts(t: int, stride: int) -> List[int]:
@@ -79,6 +86,38 @@ def build_window_index(
     return idx, valid, n_max
 
 
+def build_composite_index(
+    t_valid: int, t_padded: int, stride: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-frame contribution map for device-side compositing.
+
+    Returns (fwin [T, K], fslot [T, K], fcount [T]): for each frame, the
+    windows covering it (ascending — the reference's sequential blend order)
+    and the neighbor slot holding its prediction.
+    """
+    fwin = np.zeros((t_padded, MAX_OVERLAPS), np.int32)
+    fslot = np.zeros((t_padded, MAX_OVERLAPS), np.int32)
+    fcount = np.zeros((t_padded,), np.int32)
+    for w, f in enumerate(window_starts(t_valid, stride)):
+        for slot, frame_idx in enumerate(neighbor_ids(f, t_valid, stride)):
+            k = fcount[frame_idx]
+            assert k < MAX_OVERLAPS, "window stride/overlap invariant violated"
+            fwin[frame_idx, k] = w
+            fslot[frame_idx, k] = slot
+            fcount[frame_idx] += 1
+    return fwin, fslot, fcount
+
+
+def _auto_window_batch(num_windows: int, requested: int) -> int:
+    """Largest divisor of num_windows that is <= requested (no padded windows)."""
+    if requested <= 0 or requested >= num_windows:
+        return num_windows
+    for wb in range(requested, 0, -1):
+        if num_windows % wb == 0:
+            return wb
+    return 1
+
+
 class STTNWindowEngine:
     """Jitted chunk processor around an STTNGenerator."""
 
@@ -103,19 +142,17 @@ class STTNWindowEngine:
         self.n_max = 2 * stride + 1
         self.r_max = math.ceil(clip_len / ref_length)
         self.num_windows = math.ceil(clip_len / stride)
-        self.window_batch = window_batch if window_batch > 0 else self.num_windows
-        # pad window count to a multiple of window_batch for lax.map
-        self.num_windows_padded = (
-            math.ceil(self.num_windows / self.window_batch) * self.window_batch
-        )
+        self.window_batch = _auto_window_batch(self.num_windows, window_batch)
         self._step = jax.jit(self._chunk_step)
 
     # ---- device program ----
-    def _chunk_step(self, params, frames_u8, idx, valid, masks=None):
-        """frames_u8: [T, H, W, 3] BGR uint8; idx/valid: [Wn_p, L];
+    def _chunk_step(self, params, frames_u8, idx, valid, fwin, fslot, fcount,
+                    masks=None):
+        """frames_u8: [T, H, W, 3] BGR uint8; idx/valid: [Wn, L];
+        fwin/fslot/fcount: composite index (build_composite_index);
         masks (det variant): [T, H, W] float {0,1} hole masks.
 
-        Returns [Wn_p, n_max, H, W, 3] BGR uint8 predictions.
+        Returns composited [T, H, W, 3] BGR uint8.
         """
         x = frames_u8[..., ::-1].astype(jnp.float32) / 255.0 * 2.0 - 1.0  # RGB [-1,1]
         feat_masks = None
@@ -146,19 +183,30 @@ class STTNWindowEngine:
         wvalid = valid.reshape(-1, wb, valid.shape[-1])
         preds = jax.lax.map(window_batch_fn, (widx, wvalid))
         preds = preds.reshape(-1, self.n_max, *preds.shape[-3:])
-        u8 = jnp.clip((preds + 1.0) * 0.5 * 255.0, 0, 255).astype(jnp.uint8)
-        return u8[..., ::-1]  # RGB -> BGR
+        preds_u8 = jnp.clip((preds + 1.0) * 0.5 * 255.0, 0, 255).astype(jnp.uint8)
+        preds_u8 = preds_u8[..., ::-1]  # RGB -> BGR
+
+        # per-frame contributions in window order: [T, K, H, W, 3]
+        contrib = preds_u8[fwin, fslot].astype(jnp.float32)
+        if masks is not None:
+            # det variant blends prediction into the source under the hole
+            # before the overlap average (sttn_det_inpaint.py:168)
+            m = masks[:, None, :, :, None]
+            frame_f = frames_u8[:, None].astype(jnp.float32)
+            contrib = contrib * m + frame_f * (1.0 - m)
+
+        comp = contrib[:, 0]
+        for k in range(1, MAX_OVERLAPS):
+            take = (fcount > k)[:, None, None, None]
+            comp = jnp.where(take, 0.5 * comp + 0.5 * contrib[:, k], comp)
+        return comp.astype(jnp.uint8)
 
     # ---- host driver ----
-    def process_chunk(
-        self, frames: np.ndarray, masks: Optional[np.ndarray] = None
-    ) -> np.ndarray:
-        """Inpaint one chunk.
+    def dispatch(self, frames: np.ndarray, masks: Optional[np.ndarray] = None):
+        """Launch one chunk asynchronously; returns an opaque handle.
 
         frames: [T', H, W, 3] BGR uint8 with T' <= clip_len (model input size).
-        masks (det variant): [T', H, W] binary {0,1}; prediction replaces only
-        hole pixels before the overlap average (ref sttn_det_inpaint.py:168).
-        Returns [T', H, W, 3] BGR uint8 composited predictions.
+        masks (det variant): [T', H, W] binary {0,1}.
         """
         t_valid = len(frames)
         assert 0 < t_valid <= self.clip_len, (t_valid, self.clip_len)
@@ -174,48 +222,28 @@ class STTNWindowEngine:
         idx, valid, _ = build_window_index(
             t_valid, self.clip_len, self.stride, self.ref_length
         )
-        if self.num_windows_padded > idx.shape[0]:
-            extra = self.num_windows_padded - idx.shape[0]
-            idx = np.concatenate([idx, np.zeros((extra, idx.shape[1]), idx.dtype)])
-            valid = np.concatenate([valid, np.zeros((extra, valid.shape[1]), bool)])
-
-        args = [self.params, jnp.asarray(padded), jnp.asarray(idx), jnp.asarray(valid)]
+        fwin, fslot, fcount = build_composite_index(
+            t_valid, self.clip_len, self.stride
+        )
+        args = [self.params, jnp.asarray(padded), jnp.asarray(idx),
+                jnp.asarray(valid), jnp.asarray(fwin), jnp.asarray(fslot),
+                jnp.asarray(fcount)]
         if self.masked:
             padded_masks = masks.astype(np.float32)
             if t_valid < self.clip_len:
                 mpad = np.repeat(padded_masks[-1:], self.clip_len - t_valid, axis=0)
                 padded_masks = np.concatenate([padded_masks, mpad], axis=0)
             args.append(jnp.asarray(padded_masks))
-        preds = np.asarray(self._step(*args))
-        return self._composite(preds, t_valid, frames, masks)
+        out = self._step(*args)  # async dispatch — does not block
+        return (out, t_valid)
 
-    def _composite(
-        self,
-        preds: np.ndarray,
-        t_valid: int,
-        frames: Optional[np.ndarray] = None,
-        masks: Optional[np.ndarray] = None,
+    def fetch(self, handle) -> np.ndarray:
+        """Block on a dispatched chunk; returns [T', H, W, 3] BGR uint8."""
+        out, t_valid = handle
+        return np.asarray(out)[:t_valid]
+
+    def process_chunk(
+        self, frames: np.ndarray, masks: Optional[np.ndarray] = None
     ) -> np.ndarray:
-        """Sequential overlap average in reference order (ref :152-162):
-        first window writes uint8; later overlaps blend 0.5/0.5 in float. In
-        the masked (det) variant, predictions first blend with the source
-        frame under the hole mask (ref sttn_det_inpaint.py:165-172)."""
-        bmask = None
-        if masks is not None:
-            bmask = (masks > 0.5).astype(np.uint8)[..., None]
-        comp: List[Optional[np.ndarray]] = [None] * t_valid
-        for w, f in enumerate(window_starts(t_valid, self.stride)):
-            ns = neighbor_ids(f, t_valid, self.stride)
-            for slot, frame_idx in enumerate(ns):
-                img = preds[w, slot]
-                if bmask is not None:
-                    img = (img * bmask[frame_idx]
-                           + frames[frame_idx] * (1 - bmask[frame_idx]))
-                prev = comp[frame_idx]
-                if prev is None:
-                    comp[frame_idx] = img
-                else:
-                    comp[frame_idx] = (
-                        prev.astype(np.float32) * 0.5 + img.astype(np.float32) * 0.5
-                    )
-        return np.stack([c.astype(np.uint8) for c in comp])
+        """Synchronous dispatch+fetch."""
+        return self.fetch(self.dispatch(frames, masks))

@@ -139,6 +139,10 @@ class STTNAutoInpainter:
 
         reader: object with read() -> (ok, BGR frame); writer: write(frame).
         Returns number of frames written.
+
+        Pipelined: while the device crunches chunk i (async dispatch), the
+        host pastes back and encodes chunk i-1 and the prefetch thread decodes
+        chunk i+1 — the three stages overlap.
         """
         W, H = size
         split_h = self._split_h(W)
@@ -147,11 +151,10 @@ class STTNAutoInpainter:
         clip = self.clip_gap
         engine = self._engine(clip) if bands else None
 
-        written = 0
-        frame_no = 0
-        while written < frame_count:
+        def read_chunk():
             frames_hr: List[np.ndarray] = []
             in_section: List[bool] = []
+            nonlocal frame_no
             while len(frames_hr) < clip:
                 ok, frame = reader.read()
                 if not ok:
@@ -161,39 +164,52 @@ class STTNAutoInpainter:
                     is_frame_number_in_ab_sections(frame_no, ab_sections)
                 )
                 frame_no += 1
+            return frames_hr, in_section
+
+        def dispatch_chunk(frames_hr, in_section):
+            proc_idx = [i for i, p in enumerate(in_section) if p]
+            handles = []
+            if bands and proc_idx:
+                for band in bands:
+                    scaled = np.stack(
+                        [self._crop_and_resize(frames_hr[i], band)
+                         for i in proc_idx]
+                    )
+                    handles.append(engine.dispatch(scaled))
+            return frames_hr, proc_idx, handles
+
+        def drain_chunk(frames_hr, proc_idx, handles) -> int:
+            comps_per_band = [engine.fetch(h) for h in handles]
+            proc_map = {i: j for j, i in enumerate(proc_idx)}
+            n = 0
+            for i, frame in enumerate(frames_hr):
+                original = frame.copy() if preview_cb else None
+                if i in proc_map and comps_per_band:
+                    for band, comps in zip(bands, comps_per_band):
+                        self._paste_band(
+                            frame, comps[proc_map[i]], band, mask01, W, split_h
+                        )
+                writer.write(frame)
+                n += 1
+                if progress_cb:
+                    progress_cb(1)
+                if preview_cb:
+                    preview_cb(original, frame)
+            return n
+
+        written = 0
+        frame_no = 0
+        pending = None
+        while written + (len(pending[0]) if pending else 0) < frame_count:
+            frames_hr, in_section = read_chunk()
             if not frames_hr:
                 break
-
-            if bands:
-                # gather processed subset (AB sections may skip frames)
-                proc_idx = [i for i, p in enumerate(in_section) if p]
-                comps_per_band = []
-                if proc_idx:
-                    for band in bands:
-                        scaled = np.stack(
-                            [self._crop_and_resize(frames_hr[i], band) for i in proc_idx]
-                        )
-                        comps_per_band.append(engine.process_chunk(scaled))
-                proc_map = {i: j for j, i in enumerate(proc_idx)}
-                for i, frame in enumerate(frames_hr):
-                    original = frame.copy() if preview_cb else None
-                    if i in proc_map:
-                        for band, comps in zip(bands, comps_per_band):
-                            self._paste_band(
-                                frame, comps[proc_map[i]], band, mask01, W, split_h
-                            )
-                    writer.write(frame)
-                    written += 1
-                    if progress_cb:
-                        progress_cb(1)
-                    if preview_cb:
-                        preview_cb(original, frame)
-            else:
-                for frame in frames_hr:
-                    writer.write(frame)
-                    written += 1
-                    if progress_cb:
-                        progress_cb(1)
+            current = dispatch_chunk(frames_hr, in_section)
+            if pending is not None:
+                written += drain_chunk(*pending)
+            pending = current
             if len(frames_hr) < clip:
                 break  # reader exhausted
+        if pending is not None:
+            written += drain_chunk(*pending)
         return written
