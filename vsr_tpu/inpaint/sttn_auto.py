@@ -114,13 +114,20 @@ class STTNAutoInpainter:
         return out
 
     def _inpaint_scaled(self, scaled: np.ndarray) -> np.ndarray:
-        """Run the engine over [T, 120, 640, 3], chunking by clip_gap."""
+        """Run the engine over [T, 120, 640, 3], chunking by clip_gap.
+
+        Chunks are dispatched ahead (bounded to 2 in flight) so H2D/compute/
+        D2H of consecutive chunks overlap on the device queue."""
         t = len(scaled)
         clip = min(self.clip_gap, max(t, self.config.sttn_reference_length))
         engine = self._engine(clip)
+        handles = []
         outs = []
         for s in range(0, t, clip):
-            outs.append(engine.process_chunk(scaled[s : s + clip]))
+            handles.append(engine.dispatch(scaled[s : s + clip]))
+            if len(handles) > 2:
+                outs.append(engine.fetch(handles.pop(0)))
+        outs.extend(engine.fetch(h) for h in handles)
         return np.concatenate(outs, axis=0)
 
     # ---- streaming video path (ref STTNAutoInpaint.__call__ :199-336) ----
