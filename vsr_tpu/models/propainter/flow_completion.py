@@ -173,13 +173,33 @@ class _Deconv(nn.Module):
                        param_dtype=jnp.float32, name="conv")(x)
 
 
+class EdgeDetector(nn.Module):
+    """Differentiable edge head used by the flow-completion edge loss
+    (recurrent_flow_completion.py:176-204). Training-only; kept so converted
+    reference checkpoints stay lossless."""
+
+    mid: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow: jnp.ndarray) -> jnp.ndarray:
+        x = _lrelu(_Conv2d(self.mid, dtype=self.dtype, name="proj")(flow))
+        e = _lrelu(_Conv2d(self.mid, dtype=self.dtype, name="mid1")(x))
+        e = _Conv2d(self.mid, dtype=self.dtype, name="mid2")(e)
+        e = nn.leaky_relu(x + e, negative_slope=0.01)
+        e = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="out")(e)
+        return nn.sigmoid(e)
+
+
 class RecurrentFlowCompleteNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, masked_flows: jnp.ndarray, masks: jnp.ndarray):
+    def __call__(self, masked_flows: jnp.ndarray, masks: jnp.ndarray,
+                 train: bool = False):
         """masked_flows [B, T, H, W, 2]; masks [B, T, H, W, 1] ->
-        completed flow [B, T, H, W, 2]."""
+        completed flow [B, T, H, W, 2] (plus edges [B*T, H, W, 1] in train)."""
         B, T, H, W, _ = masked_flows.shape
         x = jnp.concatenate([masked_flows, masks], axis=-1).astype(self.dtype)
 
@@ -214,7 +234,12 @@ class RecurrentFlowCompleteNet(nn.Module):
 
         up = _lrelu(_Conv2d(32, dtype=self.dtype, name="upa")(d1))
         flow = _Deconv(2, self.dtype, name="upb")(up)
-        return flow.reshape(B, T, H, W, 2).astype(jnp.float32)
+        flow = flow.reshape(B, T, H, W, 2).astype(jnp.float32)
+        if train:
+            edge = EdgeDetector(dtype=self.dtype, name="edge")(
+                flow.reshape(B * T, H, W, 2).astype(self.dtype))
+            return flow, edge.astype(jnp.float32)
+        return flow
 
     def forward_bidirect_flow(
         self, masked_flows_bi, masks: jnp.ndarray

@@ -245,9 +245,11 @@ class FeaturePropagation(nn.Module):
     @nn.compact
     def __call__(self, x, flows_f, flows_b, masks):
         """x [B, T, H, W, C]; flows_* [B, T-1, H, W, 2];
-        masks [B, T, H, W, 2] (mask_in, mask_updated)."""
+        masks [B, T, H, W, 2] (mask_in, mask_updated) — the full 2-channel
+        mask feeds the alignment cond, the backbone AND the fuse (ref
+        propainter.py:46,90,154,168,186)."""
         B, T, H, W, C = x.shape
-        mask_current = masks[..., :1]  # ref uses full 2ch only in fuse
+        mask_current = masks
 
         def run(name, seq_x, seq_m, flows_prop, flows_check, reverse):
             scan = nn.scan(
