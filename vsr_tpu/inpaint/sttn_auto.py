@@ -21,6 +21,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from vsr_tpu import native
 from vsr_tpu.config import Config
 from vsr_tpu.inpaint.engine import STTNWindowEngine
 from vsr_tpu.inpaint.weights import load_or_init_params
@@ -75,6 +76,11 @@ class STTNAutoInpainter:
 
     def _crop_and_resize(self, frame: np.ndarray, band) -> np.ndarray:
         ymin, ymax, _, _ = band
+        out = native.crop_resize(
+            frame, ymin, ymax - ymin,
+            self.model_input_width, self.model_input_height)
+        if out is not None:
+            return out
         crop = frame[ymin:ymax, :, :]
         return cv2.resize(crop, (self.model_input_width, self.model_input_height))
 
@@ -87,9 +93,16 @@ class STTNAutoInpainter:
         width: int,
         split_h: int,
     ) -> None:
-        """Blend the inpainted band back: mask*comp + (1-mask)*frame (ref :91)."""
+        """Blend the inpainted band back: mask*comp + (1-mask)*frame (ref :91).
+
+        Uses the fused native resize+blend (one multithreaded pass writing in
+        place) with a cv2 fallback."""
         ymin, ymax, _, _ = band
-        comp = cv2.resize(comp, (width, split_h)).astype(np.uint8)
+        band_h = ymax - ymin
+        mask_region = np.ascontiguousarray(mask01[ymin:ymax, :, 0])
+        if native.paste_band_blend(frame, comp, mask_region, ymin, band_h):
+            return
+        comp = cv2.resize(comp, (width, band_h)).astype(np.uint8)
         region = mask01[ymin:ymax, :]
         frame[ymin:ymax, :, :] = (
             region * comp + (1 - region) * frame[ymin:ymax, :, :]
