@@ -165,8 +165,10 @@ class STTNWindowEngine:
 
         def window_batch_fn(args):
             widx, wvalid = args  # [wb, L], [wb, L]
+            # invalid slots carry clamped-index (finite) features; they are
+            # excluded from attention via the key mask and their outputs are
+            # never composited, so no zeroing pass is needed
             wf = feats[widx]  # [wb, L, h, w, C]
-            wf = jnp.where(wvalid[..., None, None, None], wf, 0.0)
             wm = feat_masks[widx] if feat_masks is not None else None
             out = self.model.apply(
                 params, wf, wvalid, wm, method=self.model.transform
