@@ -123,3 +123,40 @@ class TestTaskModel:
         assert task.status == TaskStatus.COMPLETED, task.error
         assert task.progress == 100
         assert os.path.exists(out)
+
+
+class TestCommonUtils:
+    def test_file_type_checks(self):
+        from vsr_tpu.utils.common import is_image_file, is_video_file, is_video_or_image
+
+        assert is_image_file("x.PNG") and not is_video_file("x.png")
+        assert is_video_file("a.mkv") and is_video_or_image("a.mkv")
+        assert not is_video_or_image("a.txt")
+
+    def test_unicode_safe_image_io(self, tmp_path):
+        from vsr_tpu.utils.common import read_image, write_image
+
+        path = str(tmp_path / "图片_тест.png")
+        img = np.full((20, 30, 3), 77, np.uint8)
+        assert write_image(path, img)
+        back = read_image(path)
+        np.testing.assert_array_equal(back, img)
+
+    def test_merge_side_by_side(self, tmp_path):
+        from vsr_tpu.utils.common import merge_videos_side_by_side
+
+        def mk(path, level):
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+            for _ in range(6):
+                w.write(np.full((48, 64, 3), level, np.uint8))
+            w.release()
+
+        a, b = str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")
+        mk(a, 50)
+        mk(b, 200)
+        out = str(tmp_path / "sbs.mp4")
+        n = merge_videos_side_by_side(a, b, out)
+        assert n == 6
+        cap = cv2.VideoCapture(out)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
+        cap.release()
