@@ -120,3 +120,21 @@ class TestEngineEquivalence:
             outs.append(engine.process_chunk(frames))
         assert_mostly_equal(outs[0], outs[1])
         assert_mostly_equal(outs[0], outs[2])
+
+
+class TestOutRowsSlicing:
+    def test_sliced_output_matches_full(self, tiny_model):
+        """out_rows returns exactly the same rows the full output would."""
+        model, params = tiny_model
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 256, (10, H, W, 3), dtype=np.uint8)
+        full_engine = STTNWindowEngine(
+            model, params, clip_len=10, input_hw=(H, W),
+            stride=3, ref_length=5, window_batch=2)
+        sliced_engine = STTNWindowEngine(
+            model, params, clip_len=10, input_hw=(H, W),
+            stride=3, ref_length=5, window_batch=2, out_rows=(6, 18))
+        full = full_engine.process_chunk(frames)
+        sliced = sliced_engine.process_chunk(frames)
+        assert sliced.shape == (10, 12, W, 3)
+        np.testing.assert_array_equal(sliced, full[:, 6:18])

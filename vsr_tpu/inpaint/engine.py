@@ -131,6 +131,7 @@ class STTNWindowEngine:
         ref_length: int = 10,
         window_batch: int = 0,
         masked: bool = False,
+        out_rows: Optional[Tuple[int, int]] = None,
     ):
         self.model = model
         self.params = params
@@ -139,6 +140,13 @@ class STTNWindowEngine:
         self.stride = stride
         self.ref_length = ref_length
         self.masked = masked  # det variant: masked encoder input + attention
+        # out_rows: static (r0, r1) row slice of the composited output to
+        # return. When the video's mask only covers part of the band (the
+        # common case), transferring just those rows cuts D2H severalfold —
+        # the dominant cost over a remote device link. The caller must choose
+        # rows with enough margin that every blended pixel's interpolation
+        # support lies inside the slice (sttn_auto computes this).
+        self.out_rows = out_rows
         self.n_max = 2 * stride + 1
         self.r_max = math.ceil(clip_len / ref_length)
         self.num_windows = math.ceil(clip_len / stride)
@@ -188,13 +196,16 @@ class STTNWindowEngine:
         preds_u8 = jnp.clip((preds + 1.0) * 0.5 * 255.0, 0, 255).astype(jnp.uint8)
         preds_u8 = preds_u8[..., ::-1]  # RGB -> BGR
 
-        # per-frame contributions in window order: [T, K, H, W, 3]
+        r0, r1 = self.out_rows if self.out_rows is not None else (0, preds_u8.shape[2])
+        preds_u8 = preds_u8[:, :, r0:r1]
+
+        # per-frame contributions in window order: [T, K, rows, W, 3]
         contrib = preds_u8[fwin, fslot].astype(jnp.float32)
         if masks is not None:
             # det variant blends prediction into the source under the hole
             # before the overlap average (sttn_det_inpaint.py:168)
-            m = masks[:, None, :, :, None]
-            frame_f = frames_u8[:, None].astype(jnp.float32)
+            m = masks[:, None, r0:r1, :, None]
+            frame_f = frames_u8[:, None, r0:r1].astype(jnp.float32)
             contrib = contrib * m + frame_f * (1.0 - m)
 
         comp = contrib[:, 0]

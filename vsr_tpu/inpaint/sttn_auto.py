@@ -56,10 +56,11 @@ class STTNAutoInpainter:
         self.clip_gap = self.config.get_sttn_max_load_num()
         self._engines = {}
 
-    def _engine(self, clip_len: int) -> STTNWindowEngine:
-        """One engine (and one compiled program) per chunk length actually used."""
-        if clip_len not in self._engines:
-            self._engines[clip_len] = STTNWindowEngine(
+    def _engine(self, clip_len: int, out_rows=None) -> STTNWindowEngine:
+        """One engine (one compiled program) per (chunk length, output slice)."""
+        key = (clip_len, out_rows)
+        if key not in self._engines:
+            self._engines[key] = STTNWindowEngine(
                 self.model,
                 self.params,
                 clip_len=clip_len,
@@ -67,8 +68,26 @@ class STTNAutoInpainter:
                 stride=self.config.sttn_neighbor_stride,
                 ref_length=self.config.sttn_reference_length,
                 window_batch=self.config.window_batch,
+                out_rows=out_rows,
             )
-        return self._engines[clip_len]
+        return self._engines[key]
+
+    def _band_out_rows(self, mask01: np.ndarray, band) -> tuple:
+        """Static model-scale row slice covering the mask within this band.
+
+        Only these rows of the composited band cross device->host; the slice
+        includes a 2-row margin so every blended pixel's bilinear support is
+        inside it (paste-back is exact within the mask)."""
+        ymin, ymax, _, _ = band
+        band_h = ymax - ymin
+        rows = np.nonzero(mask01[ymin:ymax, :, 0].any(axis=1))[0]
+        if len(rows) == 0:
+            return (0, self.model_input_height)
+        scale = self.model_input_height / band_h
+        y0, y1 = int(rows[0]), int(rows[-1]) + 1
+        r0 = int(np.floor((y0 + 0.5) * scale - 0.5)) - 2
+        r1 = int(np.ceil((y1 - 0.5) * scale - 0.5)) + 3
+        return (max(0, r0), min(self.model_input_height, r1))
 
     # ---- band helpers ----
     def _split_h(self, width: int) -> int:
@@ -92,13 +111,22 @@ class STTNAutoInpainter:
         mask01: np.ndarray,
         width: int,
         split_h: int,
+        out_rows=None,
     ) -> None:
         """Blend the inpainted band back: mask*comp + (1-mask)*frame (ref :91).
 
-        Uses the fused native resize+blend (one multithreaded pass writing in
-        place) with a cv2 fallback."""
+        ``comp`` may be just the out_rows slice of the model-height band; it
+        is placed back into a full-height buffer (zeros elsewhere — those
+        pixels are outside the mask and its interpolation margin, so they are
+        never blended in). Uses the fused native resize+blend with a cv2
+        fallback."""
         ymin, ymax, _, _ = band
         band_h = ymax - ymin
+        if out_rows is not None and comp.shape[0] != self.model_input_height:
+            full = np.zeros(
+                (self.model_input_height, comp.shape[1], 3), np.uint8)
+            full[out_rows[0] : out_rows[1]] = comp
+            comp = full
         mask_region = np.ascontiguousarray(mask01[ymin:ymax, :, 0])
         if native.paste_band_blend(frame, comp, mask_region, ymin, band_h):
             return
@@ -120,20 +148,22 @@ class STTNAutoInpainter:
             return [f.copy() for f in input_frames]
         out = [f.copy() for f in input_frames]
         for band in bands:
+            out_rows = self._band_out_rows(mask01, band)
             scaled = np.stack([self._crop_and_resize(f, band) for f in input_frames])
-            comps = self._inpaint_scaled(scaled)
+            comps = self._inpaint_scaled(scaled, out_rows)
             for j in range(len(out)):
-                self._paste_band(out[j], comps[j], band, mask01, W, split_h)
+                self._paste_band(out[j], comps[j], band, mask01, W, split_h,
+                                 out_rows)
         return out
 
-    def _inpaint_scaled(self, scaled: np.ndarray) -> np.ndarray:
+    def _inpaint_scaled(self, scaled: np.ndarray, out_rows=None) -> np.ndarray:
         """Run the engine over [T, 120, 640, 3], chunking by clip_gap.
 
         Chunks are dispatched ahead (bounded to 2 in flight) so H2D/compute/
         D2H of consecutive chunks overlap on the device queue."""
         t = len(scaled)
         clip = min(self.clip_gap, max(t, self.config.sttn_reference_length))
-        engine = self._engine(clip)
+        engine = self._engine(clip, out_rows)
         handles = []
         outs = []
         for s in range(0, t, clip):
@@ -169,7 +199,8 @@ class STTNAutoInpainter:
         mask01 = binarize_mask(input_mask)
         bands = get_inpaint_area_by_mask(W, H, split_h, mask01)
         clip = self.clip_gap
-        engine = self._engine(clip) if bands else None
+        band_rows = [self._band_out_rows(mask01, band) for band in bands]
+        engines = [self._engine(clip, rows) for rows in band_rows]
 
         def read_chunk():
             frames_hr: List[np.ndarray] = []
@@ -190,7 +221,7 @@ class STTNAutoInpainter:
             proc_idx = [i for i, p in enumerate(in_section) if p]
             handles = []
             if bands and proc_idx:
-                for band in bands:
+                for band, engine in zip(bands, engines):
                     scaled = np.stack(
                         [self._crop_and_resize(frames_hr[i], band)
                          for i in proc_idx]
@@ -199,15 +230,18 @@ class STTNAutoInpainter:
             return frames_hr, proc_idx, handles
 
         def drain_chunk(frames_hr, proc_idx, handles) -> int:
-            comps_per_band = [engine.fetch(h) for h in handles]
+            comps_per_band = [engine.fetch(h)
+                              for engine, h in zip(engines, handles)]
             proc_map = {i: j for j, i in enumerate(proc_idx)}
             n = 0
             for i, frame in enumerate(frames_hr):
                 original = frame.copy() if preview_cb else None
                 if i in proc_map and comps_per_band:
-                    for band, comps in zip(bands, comps_per_band):
+                    for band, rows, comps in zip(bands, band_rows,
+                                                 comps_per_band):
                         self._paste_band(
-                            frame, comps[proc_map[i]], band, mask01, W, split_h
+                            frame, comps[proc_map[i]], band, mask01, W,
+                            split_h, rows
                         )
                 writer.write(frame)
                 n += 1
