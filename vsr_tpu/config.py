@@ -86,8 +86,10 @@ class Config:
 
     # ---- TPU-native knobs (no reference analog) ----
     # Windows evaluated per device step in the batched STTN sweep; bounds
-    # activation memory. 0 = all windows in a chunk at once.
-    window_batch: int = 8
+    # activation memory AND sets the compute/DMA pipelining granularity.
+    # 0 = all windows in a chunk at once. Measured on v5e: 2 beats 5 and 10
+    # (smaller working sets overlap better across lax.map iterations).
+    window_batch: int = 2
     # Compute dtype for the model forward ("bfloat16" on TPU, "float32" for
     # bit-accurate CPU tests).
     compute_dtype: str = "bfloat16"
