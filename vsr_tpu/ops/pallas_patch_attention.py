@@ -4,19 +4,29 @@ The XLA path (ops/patch_attention.py) materializes patch-token matrices with
 reshape/transpose chains — profiled at ~30% of the STTN chunk step as pure
 relayout/copy work. This kernel reads q/k/v in their natural grid layout
 [L, h, w, dk] and performs token extraction, scaled-dot-product, online
-softmax and value accumulation in one pass per (batch, query-strip):
+softmax and value accumulation in one fused pass.
 
+Structure (canonical TPU flash pattern):
 * a "strip" is one (frame, patch-row) pair = ``w//pw`` tokens whose patch
-  pixels live in ``ph`` contiguous grid rows — loading a strip is a plain
-  slice, and the [ph, w, dk] -> [n_tok, D] token view is a cheap in-register
-  relayout;
-* the kernel grid is (B, L*n_strips) over query strips; keys/values stay in
-  HBM and stream strip-by-strip through a double-buffered DMA pipeline with a
-  running (max, sum, acc) online softmax — scores never touch HBM;
-* invalid (padded) frames get an additive -1e9 per key strip.
+  pixels are ``ph`` contiguous grid rows — so a strip is a plain block and
+  the [ph, w, dk] -> [n_tok, D] token view is an in-register relayout;
+* grid = (B, n_q_strips, n_k_strips): the Pallas pipeline streams key/value
+  strips with automatic double-buffered DMA; online-softmax state (max, sum,
+  accumulator) lives in VMEM scratch, which persists across the sequential
+  k-strip grid steps; the output strip is written on the last k step;
+* invalid (padded) frames get an additive -1e9 via the [B, L] bias input.
 
 Equivalence with the XLA path is tested in interpret mode (CPU); on-device
-use is opt-in (config.use_pallas) pending a perf win over XLA's lowering.
+use is opt-in (config.use_pallas).
+
+Toolchain status (round 1): this environment's remote Mosaic compiler
+(axon tpu_compile_helper) returns an opaque HTTP 500 for the
+strip->token relayout feeding the MXU (bisected: the 5D block specs, 3D
+grid, scratch accumulation, SMEM bias, and plain [32, 960] dots each compile
+fine in isolation; reshape(ph, n_tok, pw, dk).transpose(1, 0, 2, 3) feeding a
+dot does not, even when materialized through VMEM scratch). The XLA lowering
+of ops/patch_attention.py remains the production path until the kernel can
+be compiled on a standard Mosaic build.
 """
 
 from __future__ import annotations
@@ -48,84 +58,55 @@ def _tokens_to_strip(tokens: jnp.ndarray, ph: int, pw: int, dk: int) -> jnp.ndar
     return t.reshape(ph, n_tok * pw, dk)
 
 
-def _attention_kernel(ph, pw, n_strips, L, scale,
-                      valid_ref, q_ref, k_hbm, v_hbm, o_ref):
-    """Grid: (B, L*n_strips).
+def _attention_kernel(ph, pw, n_strips, scale,
+                      valid_ref, q_ref, k_ref, v_ref, o_ref,
+                      m_sc, s_sc, acc_sc):
+    """Grid: (B, n_q_strips, n_k_strips) — k dim innermost/sequential.
 
-    valid_ref: [1, L] additive bias (0 / -1e9), VMEM
-    q_ref/o_ref: [1, 1, ph, w, dk] query/output strip, VMEM
-    k_hbm/v_hbm: [1, L, h, w, dk] in HBM/ANY — strips DMA'd in.
+    valid_ref: [1, 1, L] additive bias row for this batch item, SMEM
+    q_ref/o_ref: [1, 1, ph, w, dk] query/output strip
+    k_ref/v_ref: [1, 1, ph, w, dk] current key/value strip
+    scratch: m/s [n_tok, 128] f32 (col 0 used), acc [n_tok, D] f32
     """
-    dk = q_ref.shape[-1]
-    w = q_ref.shape[-2]
-    n_tok = w // pw
-    D = ph * pw * dk
-    b = pl.program_id(0)
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    frame = j // n_strips
+
+    @pl.when(j == 0)
+    def _():
+        # finite sentinel instead of -inf (Mosaic-safe); full-lane stores
+        m_sc[...] = jnp.full_like(m_sc, -1e30)
+        s_sc[...] = jnp.zeros_like(s_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
     q = _strip_to_tokens(q_ref[0, 0], ph, pw).astype(jnp.float32) * scale
-    total = L * n_strips
+    kt = _strip_to_tokens(k_ref[0, 0], ph, pw).astype(jnp.float32)
+    vt = _strip_to_tokens(v_ref[0, 0], ph, pw).astype(jnp.float32)
 
-    def run(k_buf, v_buf, sems):
-        def make_dmas(slot, idx):
-            frame = idx // n_strips
-            row = idx % n_strips
-            kc = pltpu.make_async_copy(
-                k_hbm.at[b, frame, pl.ds(row * ph, ph)],
-                k_buf.at[slot], sems.at[slot, 0])
-            vc = pltpu.make_async_copy(
-                v_hbm.at[b, frame, pl.ds(row * ph, ph)],
-                v_buf.at[slot], sems.at[slot, 1])
-            return kc, vc
+    scores = jax.lax.dot_general(
+        q, kt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [n_tok, n_tok_k]
+    scores = scores + valid_ref[0, 0, frame]
 
-        def start_dma(slot, idx):
-            kc, vc = make_dmas(slot, idx)
-            kc.start()
-            vc.start()
+    m_prev = m_sc[:, :1]
+    m_new = jnp.maximum(m_prev, scores.max(axis=-1, keepdims=True))
+    correction = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)
+    s_new = s_sc[:, :1] * correction + p.sum(axis=-1, keepdims=True)
+    acc_new = acc_sc[...] * correction + jax.lax.dot_general(
+        p, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-        start_dma(0, 0)
+    # store broadcast across the full 128-lane scratch (single-lane stores
+    # are not lowerable on all Mosaic builds)
+    m_sc[...] = jnp.broadcast_to(m_new, m_sc.shape)
+    s_sc[...] = jnp.broadcast_to(s_new, s_sc.shape)
+    acc_sc[...] = acc_new
 
-        m0 = jnp.full((n_tok, 1), -jnp.inf, jnp.float32)
-        s0 = jnp.zeros((n_tok, 1), jnp.float32)
-        a0 = jnp.zeros((n_tok, D), jnp.float32)
-
-        def body(i, carry):
-            m, s, acc = carry
-            slot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
-
-            @pl.when(i + 1 < total)
-            def _():
-                start_dma(nxt, i + 1)
-
-            frame = i // n_strips
-            kc, vc = make_dmas(slot, i)
-            kc.wait()
-            vc.wait()
-
-            kt = _strip_to_tokens(k_buf[slot], ph, pw).astype(jnp.float32)
-            vt = _strip_to_tokens(v_buf[slot], ph, pw).astype(jnp.float32)
-            scores = jax.lax.dot_general(
-                q, kt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            scores = scores + valid_ref[0, frame]
-            m_new = jnp.maximum(m, scores.max(axis=-1, keepdims=True))
-            correction = jnp.exp(m - m_new)
-            p = jnp.exp(scores - m_new)
-            s_new = s * correction + p.sum(axis=-1, keepdims=True)
-            acc_new = acc * correction + jax.lax.dot_general(
-                p, vt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return m_new, s_new, acc_new
-
-        m, s, acc = jax.lax.fori_loop(0, total, body, (m0, s0, a0))
-        out = acc / s
+    @pl.when(j == n_k - 1)
+    def _():
+        out = acc_sc[...] / s_sc[:, :1]
+        dk = o_ref.shape[-1]
         o_ref[0, 0] = _tokens_to_strip(out, ph, pw, dk).astype(o_ref.dtype)
-
-    pl.run_scoped(
-        run,
-        k_buf=pltpu.VMEM((2, ph, w, dk), q_ref.dtype),
-        v_buf=pltpu.VMEM((2, ph, w, dk), q_ref.dtype),
-        sems=pltpu.SemaphoreType.DMA((2, 2)),
-    )
 
 
 def patch_attention_pallas(
@@ -146,33 +127,43 @@ def patch_attention_pallas(
     B, L, h, w, dk = q.shape
     assert h % ph == 0 and w % pw == 0
     n_strips = h // ph
+    n_tok = w // pw
     D = ph * pw * dk
     scale = 1.0 / math.sqrt(D)
 
     if key_valid is None:
-        bias = jnp.zeros((B, L), jnp.float32)
+        bias = jnp.zeros((B, 1, L), jnp.float32)
     else:
-        bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
-    kernel = functools.partial(_attention_kernel, ph, pw, n_strips, L, scale)
+    kernel = functools.partial(_attention_kernel, ph, pw, n_strips, scale)
 
-    grid = (B, L * n_strips)
+    strip_spec = lambda: pl.BlockSpec(
+        (1, 1, ph, w, dk),
+        lambda b, i, j: (b, i // n_strips, i % n_strips, 0, 0),
+        memory_space=pltpu.VMEM)
+    kv_spec = lambda: pl.BlockSpec(
+        (1, 1, ph, w, dk),
+        lambda b, i, j: (b, j // n_strips, j % n_strips, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    grid = (B, L * n_strips, L * n_strips)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ph, w, dk),
-                         lambda b, i: (b, i // n_strips, i % n_strips, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, L), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            strip_spec(),
+            kv_spec(),
+            kv_spec(),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, ph, w, dk),
-            lambda b, i: (b, i // n_strips, i % n_strips, 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=strip_spec(),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_tok, 128), jnp.float32),
+            pltpu.VMEM((n_tok, 128), jnp.float32),
+            pltpu.VMEM((n_tok, D), jnp.float32),
+        ],
         interpret=interpret,
     )(bias, q, k, v)
