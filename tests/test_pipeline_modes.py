@@ -150,3 +150,37 @@ def test_no_subtitles_raises(subtitle_video, tmp_path):
     remover._detector = EmptyDetector()
     with pytest.raises(RuntimeError, match="no subtitles"):
         remover.run()
+
+
+def test_propainter_mode_end_to_end(subtitle_video, tmp_path, monkeypatch):
+    """Full propainter-mode pipeline with tiny models, stubbed detector and
+    scene cuts; exercises range splitting, lama singleton fallback, batching."""
+    from vsr_tpu.inpaint import lama as lama_mod
+    from vsr_tpu.inpaint.propainter import PropainterInpainter
+    import vsr_tpu.pipeline as pipeline_mod
+
+    orig_lama = lama_mod.LamaGenerator
+    monkeypatch.setattr(
+        lama_mod, "LamaGenerator",
+        lambda **kw: orig_lama(**{**kw, "ngf": 8, "n_downsampling": 2,
+                                  "n_blocks": 1}),
+    )
+    out = str(tmp_path / "pp.mp4")
+    cfg = base_config(InpaintMode.PROPAINTER)
+    cfg.propainter_max_load_num = 8
+    cfg.propainter_raft_iters = 2
+    remover = SubtitleRemover(subtitle_video, output_path=out, config=cfg)
+    remover._detector = StubDetector()
+    remover._propainter = PropainterInpainter(
+        config=cfg,
+        generator_kwargs=dict(channel=16, hidden=32, depths=2, n_head=2,
+                              window_size=(3, 4), pool_size=(2, 2)),
+        raft_kwargs=dict(corr_levels=2, corr_radius=2),
+    )
+    # stub scene detection (tiny video has no cuts anyway; keeps it fast)
+    monkeypatch.setattr(
+        "vsr_tpu.scenes.content.get_scene_div_frame_no", lambda path: [12])
+    remover.run()
+    n, frames = read_back(out)
+    assert n == 30
+    assert remover.is_finished
