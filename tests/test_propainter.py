@@ -173,3 +173,31 @@ class TestPropainterWrapper:
         d = dilate_mask(m, 2)
         assert d.sum() > 1
         assert d[5, 3] == 1.0 and d[5, 2] == 0.0
+
+
+class TestOutpainting:
+    def test_outpaint_extends_fov(self, inpainter=None):
+        from vsr_tpu.config import Config
+        from vsr_tpu.inpaint.propainter import PropainterInpainter
+
+        cfg = Config()
+        cfg.compute_dtype = "float32"
+        cfg.propainter_raft_iters = 2
+        inp = PropainterInpainter(
+            config=cfg,
+            generator_kwargs=dict(channel=16, hidden=32, depths=1, n_head=2,
+                                  window_size=(3, 4), pool_size=(2, 2)),
+            raft_kwargs=dict(corr_levels=2, corr_radius=2),
+        )
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+                  for _ in range(4)]
+        out = inp.outpaint(frames, scale=(1.25, 1.25))
+        assert len(out) == 4
+        eh, ew = out[0].shape[:2]
+        assert eh % 8 == 0 and ew % 8 == 0
+        assert eh >= 72 and ew >= 112
+        # original content preserved in the center
+        y0, x0 = (eh - 64) // 2, (ew - 96) // 2
+        np.testing.assert_array_equal(
+            out[1][y0 : y0 + 64, x0 : x0 + 96], frames[1])

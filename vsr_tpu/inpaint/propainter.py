@@ -226,15 +226,11 @@ class PropainterInpainter:
         Returns inpainted BGR uint8 frames. H, W must be divisible by 8
         (the band solver guarantees this via multiple=8).
         """
-        T = len(frames_bgr)
-        H, W = frames_bgr[0].shape[:2]
-        rgb = np.stack([f[..., ::-1] for f in frames_bgr])
-        frames_n = rgb.astype(np.float32) / 255.0 * 2.0 - 1.0
+        dilated = dilate_mask(mask, self.mask_dilation)
+        return self._inpaint_with_masks(frames_bgr, dilated, dilated)
 
-        flow_mask = dilate_mask(mask, self.mask_dilation)
-        mask_dilated = dilate_mask(mask, self.mask_dilation)
-        flow_masks = np.repeat(flow_mask[None, :, :, None], T, axis=0)
-        masks_dilated = np.repeat(mask_dilated[None, :, :, None], T, axis=0)
+    def _run_stages(self, rgb, frames_n, flow_masks, masks_dilated) -> List[np.ndarray]:
+        T = len(frames_n)
 
         # 1) optical flow (fp32)
         flows_f, flows_b = self._compute_flows(frames_n)
@@ -278,6 +274,40 @@ class PropainterInpainter:
                         + img.astype(np.float32) * 0.5
                     ).astype(np.uint8)
         return [c[..., ::-1].astype(np.uint8) for c in comp_frames]  # RGB->BGR
+
+    # ---- video outpainting (ref extrapolation :80-118) ----
+    def outpaint(
+        self, frames_bgr: List[np.ndarray], scale: Tuple[float, float]
+    ) -> List[np.ndarray]:
+        """Extend the field of view by scale=(sh, sw): frames are centered on
+        an enlarged canvas and the border is synthesized. The flow mask keeps
+        a 4px overlap into known content when the border is wide (ref :105)."""
+        n = len(frames_bgr)
+        h, w = frames_bgr[0].shape[:2]
+        eh = int(scale[0] * h) - int(scale[0] * h) % 8
+        ew = int(scale[1] * w) - int(scale[1] * w) % 8
+        y0 = (eh - h) // 2
+        x0 = (ew - w) // 2
+        canvas = np.zeros((n, eh, ew, 3), np.uint8)
+        canvas[:, y0 : y0 + h, x0 : x0 + w] = np.stack(frames_bgr)
+
+        dil_h = 4 if y0 > 10 else 0
+        dil_w = 4 if x0 > 10 else 0
+        flow_mask = np.ones((eh, ew), np.float32)
+        flow_mask[y0 + dil_h : y0 + h - dil_h, x0 + dil_w : x0 + w - dil_w] = 0
+        mask = np.ones((eh, ew), np.float32)
+        mask[y0 : y0 + h, x0 : x0 + w] = 0
+        return self._inpaint_with_masks(list(canvas), flow_mask, mask)
+
+    def _inpaint_with_masks(self, frames_bgr, flow_mask, mask_dilated):
+        """Core staged pipeline with explicit (flow_mask, mask) pair —
+        shared by inpaint() (both = dilated subtitle mask) and outpaint()."""
+        T = len(frames_bgr)
+        rgb = np.stack([f[..., ::-1] for f in frames_bgr])
+        frames_n = rgb.astype(np.float32) / 255.0 * 2.0 - 1.0
+        flow_masks = np.repeat(flow_mask[None, :, :, None], T, axis=0)
+        masks_dilated = np.repeat(mask_dilated[None, :, :, None], T, axis=0)
+        return self._run_stages(rgb, frames_n, flow_masks, masks_dilated)
 
     # ---- band video path (ref :363-418) ----
     def __call__(self, input_frames: List[np.ndarray], input_mask: np.ndarray) -> List[np.ndarray]:
