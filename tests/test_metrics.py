@@ -61,3 +61,35 @@ class TestFlowEPE:
         a = np.zeros((4, 4, 2))
         b = np.ones((4, 4, 2))
         assert flow_epe(a, b) == pytest.approx(np.sqrt(2))
+
+
+class TestVFID:
+    def test_frechet_identical_distributions(self):
+        from vsr_tpu.utils.metrics import frechet_distance
+
+        rng = np.random.default_rng(6)
+        acts = rng.standard_normal((200, 16))
+        d = frechet_distance(acts, acts.copy())
+        assert d == pytest.approx(0.0, abs=1e-6)
+
+    def test_frechet_shifted_mean(self):
+        from vsr_tpu.utils.metrics import frechet_distance
+
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((500, 8))
+        b = a + 2.0  # mean shift of 2 in every dim -> ||diff||^2 = 8*4 = 32
+        d = frechet_distance(a, b)
+        assert d == pytest.approx(32.0, rel=0.05)
+
+    def test_i3d_features(self):
+        import jax
+        import jax.numpy as jnp
+        from vsr_tpu.models.i3d import InceptionI3d
+
+        model = InceptionI3d()
+        video = jnp.zeros((1, 9, 64, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), video)
+        feats = model.apply(params, video)
+        assert feats.shape == (1, 1024)
+        logits = model.apply(params, video, features_only=False)
+        assert logits.shape == (1, 400)

@@ -91,3 +91,35 @@ def psnr_and_ssim(img1: np.ndarray, img2: np.ndarray) -> Tuple[float, float]:
 def flow_epe(flow_pred: np.ndarray, flow_gt: np.ndarray) -> float:
     """Mean end-point error over [..., 2] flow fields (metrics.py:12)."""
     return float(np.mean(np.sqrt(np.sum((flow_pred - flow_gt) ** 2, axis=-1))))
+
+
+def frechet_distance(
+    real_activations: np.ndarray, fake_activations: np.ndarray, eps: float = 1e-6
+) -> float:
+    """Frechet distance between activation Gaussians (VFID,
+    metrics.py:85-151). activations: [N, D] feature rows."""
+    import scipy.linalg
+
+    mu1 = real_activations.mean(axis=0)
+    mu2 = fake_activations.mean(axis=0)
+    sigma1 = np.cov(real_activations, rowvar=False)
+    sigma2 = np.cov(fake_activations, rowvar=False)
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def vfid(real_videos, fake_videos, i3d_apply) -> float:
+    """Video FID: I3D features of real/fake clips -> Frechet distance.
+
+    real/fake_videos: [N, T, H, W, 3] in [-1, 1]; i3d_apply: callable
+    returning [N, 1024] features (see models/i3d.InceptionI3d)."""
+    real = np.asarray(i3d_apply(real_videos))
+    fake = np.asarray(i3d_apply(fake_videos))
+    return frechet_distance(real, fake)
