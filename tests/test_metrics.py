@@ -88,7 +88,8 @@ class TestVFID:
 
         model = InceptionI3d()
         video = jnp.zeros((1, 9, 64, 64, 3))
-        params = model.init(jax.random.PRNGKey(0), video)
+        # init with the logits head so both call modes share one param tree
+        params = model.init(jax.random.PRNGKey(0), video, features_only=False)
         feats = model.apply(params, video)
         assert feats.shape == (1, 1024)
         logits = model.apply(params, video, features_only=False)
