@@ -138,3 +138,23 @@ class TestOutRowsSlicing:
         sliced = sliced_engine.process_chunk(frames)
         assert sliced.shape == (10, 12, W, 3)
         np.testing.assert_array_equal(sliced, full[:, 6:18])
+
+
+class TestMeshSharding:
+    def test_sharded_windows_match_single_device(self, tiny_model, cpu_mesh):
+        """Window-axis (sp) sharding over the virtual mesh reproduces the
+        single-device result."""
+        model, params = tiny_model
+        rng = np.random.default_rng(21)
+        frames = rng.integers(0, 256, (20, H, W, 3), dtype=np.uint8)
+        single = STTNWindowEngine(
+            model, params, clip_len=20, input_hw=(H, W),
+            stride=5, ref_length=10, window_batch=2)
+        sharded = STTNWindowEngine(
+            model, params, clip_len=20, input_hw=(H, W),
+            stride=5, ref_length=10, mesh=cpu_mesh)
+        a = single.process_chunk(frames)
+        b = sharded.process_chunk(frames)
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() <= 0.01

@@ -132,6 +132,7 @@ class STTNWindowEngine:
         window_batch: int = 0,
         masked: bool = False,
         out_rows: Optional[Tuple[int, int]] = None,
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -140,6 +141,11 @@ class STTNWindowEngine:
         self.stride = stride
         self.ref_length = ref_length
         self.masked = masked  # det variant: masked encoder input + attention
+        # Multi-chip: windows are embarrassingly parallel after encode, so
+        # with a mesh the whole window batch is evaluated at once with the
+        # window axis sharded over 'data' (the CP-analog from SURVEY §2c);
+        # GSPMD all-gathers the small encoded features to each chip.
+        self.mesh = mesh
         # out_rows: static (r0, r1) row slice of the composited output to
         # return. When the video's mask only covers part of the band (the
         # common case), transferring just those rows cuts D2H severalfold —
@@ -150,7 +156,14 @@ class STTNWindowEngine:
         self.n_max = 2 * stride + 1
         self.r_max = math.ceil(clip_len / ref_length)
         self.num_windows = math.ceil(clip_len / stride)
-        self.window_batch = _auto_window_batch(self.num_windows, window_batch)
+        if mesh is not None:
+            # pad windows to the mesh's data-axis multiple, single batch
+            n_dev = mesh.shape["data"]
+            self.num_windows_sharded = math.ceil(self.num_windows / n_dev) * n_dev
+            self.window_batch = self.num_windows_sharded
+        else:
+            self.num_windows_sharded = self.num_windows
+            self.window_batch = _auto_window_batch(self.num_windows, window_batch)
         self._step = jax.jit(self._chunk_step)
 
     # ---- device program ----
@@ -188,11 +201,19 @@ class STTNWindowEngine:
             )
             return dec.reshape(wb, n, dec.shape[1], dec.shape[2], 3)
 
-        wb = self.window_batch
-        widx = idx.reshape(-1, wb, idx.shape[-1])
-        wvalid = valid.reshape(-1, wb, valid.shape[-1])
-        preds = jax.lax.map(window_batch_fn, (widx, wvalid))
-        preds = preds.reshape(-1, self.n_max, *preds.shape[-3:])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("data"))
+            idx = jax.lax.with_sharding_constraint(idx, shard)
+            valid = jax.lax.with_sharding_constraint(valid, shard)
+            preds = window_batch_fn((idx, valid))
+        else:
+            wb = self.window_batch
+            widx = idx.reshape(-1, wb, idx.shape[-1])
+            wvalid = valid.reshape(-1, wb, valid.shape[-1])
+            preds = jax.lax.map(window_batch_fn, (widx, wvalid))
+            preds = preds.reshape(-1, self.n_max, *preds.shape[-3:])
         preds_u8 = jnp.clip((preds + 1.0) * 0.5 * 255.0, 0, 255).astype(jnp.uint8)
         preds_u8 = preds_u8[..., ::-1]  # RGB -> BGR
 
@@ -235,6 +256,11 @@ class STTNWindowEngine:
         idx, valid, _ = build_window_index(
             t_valid, self.clip_len, self.stride, self.ref_length
         )
+        if self.num_windows_sharded > idx.shape[0]:
+            extra = self.num_windows_sharded - idx.shape[0]
+            idx = np.concatenate([idx, np.zeros((extra, idx.shape[1]), idx.dtype)])
+            valid = np.concatenate(
+                [valid, np.zeros((extra, valid.shape[1]), bool)])
         fwin, fslot, fcount = build_composite_index(
             t_valid, self.clip_len, self.stride
         )
