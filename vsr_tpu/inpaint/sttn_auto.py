@@ -56,6 +56,20 @@ class STTNAutoInpainter:
         self.clip_gap = self.config.get_sttn_max_load_num()
         self._engines = {}
 
+    def _mesh(self):
+        """Window-sharding mesh when several accelerator devices are visible
+        (SP scaling path); None on a single chip or on host-CPU backends
+        (virtual CPU meshes are for explicit sharding tests — see
+        tests/test_engine.py::TestMeshSharding — not the default path)."""
+        import jax
+
+        devices = jax.devices()
+        if len(devices) > 1 and devices[0].platform != "cpu":
+            from vsr_tpu.parallel.mesh import create_mesh
+
+            return create_mesh(model=1)
+        return None
+
     def _engine(self, clip_len: int, out_rows=None) -> STTNWindowEngine:
         """One engine (one compiled program) per (chunk length, output slice)."""
         key = (clip_len, out_rows)
@@ -69,6 +83,7 @@ class STTNAutoInpainter:
                 ref_length=self.config.sttn_reference_length,
                 window_batch=self.config.window_batch,
                 out_rows=out_rows,
+                mesh=self._mesh(),
             )
         return self._engines[key]
 
