@@ -94,3 +94,28 @@ def test_audio_merge_falls_back_without_audio(tmp_path, tiny_video):
     merged = merge_audio_to_video(tiny_video, tiny_video, out)
     assert os.path.exists(out)
     assert merged is False
+
+
+def test_ffmpeg_reader_gated(tiny_video):
+    """FFmpegVideoReader matches cv2 decode when ffmpeg exists; otherwise the
+    factory falls back cleanly."""
+    from vsr_tpu.io.ffmpeg import find_ffmpeg
+    from vsr_tpu.io.video import FFmpegVideoReader, open_reader
+
+    reader = open_reader(tiny_video, prefer_ffmpeg=True)
+    if find_ffmpeg() is None:
+        assert isinstance(reader, VideoReader)
+        reader.release()
+        with pytest.raises(RuntimeError):
+            FFmpegVideoReader(tiny_video)
+        return
+    direct = read_all_frames(tiny_video)
+    got = []
+    while True:
+        ok, f = reader.read()
+        if not ok:
+            break
+        got.append(f)
+    reader.release()
+    assert len(got) == len(direct)
+    assert got[0].shape == direct[0].shape

@@ -212,6 +212,58 @@ class VideoWriter:
             self._cv2_writer = None
 
 
+class FFmpegVideoReader:
+    """Deterministic BGR frame reader over an ffmpeg rawvideo pipe.
+
+    The cv2 reader depends on the build's codec plugins; the ffmpeg pipe
+    gives bit-identical decodes across machines (SURVEY §7 step 2). Requires
+    an ffmpeg binary (vsr_tpu.io.ffmpeg.find_ffmpeg) — callers fall back to
+    VideoReader when unavailable. read()/release() interface matches
+    cv2.VideoCapture.
+    """
+
+    def __init__(self, path: str):
+        ffmpeg = find_ffmpeg()
+        if ffmpeg is None:
+            raise RuntimeError("ffmpeg binary not found")
+        self.path = path
+        self.info = read_video_info(path)
+        self._frame_bytes = self.info.width * self.info.height * 3
+        self._proc = subprocess.Popen(
+            [ffmpeg, "-i", path, "-f", "rawvideo", "-pix_fmt", "bgr24",
+             "-loglevel", "error", "-"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            bufsize=self._frame_bytes * 4,
+        )
+
+    def read(self) -> Tuple[bool, Optional[np.ndarray]]:
+        buf = self._proc.stdout.read(self._frame_bytes)
+        if buf is None or len(buf) < self._frame_bytes:
+            return False, None
+        frame = np.frombuffer(buf, np.uint8).reshape(
+            self.info.height, self.info.width, 3)
+        return True, frame.copy()
+
+    def release(self) -> None:
+        try:
+            self._proc.stdout.close()
+        except Exception:
+            pass
+        self._proc.terminate()
+        try:
+            self._proc.wait(timeout=5)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+
+
+def open_reader(path: str, prefer_ffmpeg: bool = False):
+    """Best decoder available: ffmpeg pipe when requested and present."""
+    if prefer_ffmpeg and find_ffmpeg() is not None:
+        return FFmpegVideoReader(path)
+    return VideoReader(path)
+
+
 def read_all_frames(path: str) -> list:
     """Read every frame of a (short) video into a list of BGR arrays."""
     reader = VideoReader(path)
