@@ -130,3 +130,13 @@ class TestTrainerLoop:
         assert int(trainer.state.step) == 2
         restored = np.asarray(jax.tree_util.tree_leaves(trainer.state.gen_params)[0])
         np.testing.assert_array_equal(old_leaf, restored)
+
+
+def test_trainer_evaluate():
+    gen, dis = tiny_models()
+    cfg = tiny_cfg()
+    trainer = STTNTrainer(cfg, generator=gen, discriminator=dis)
+    frames, masks = fake_batch(cfg)
+    metrics = trainer.evaluate(frames, masks)
+    assert np.isfinite(metrics["psnr"]) or metrics["psnr"] == float("inf")
+    assert 0.0 <= metrics["ssim"] <= 1.0

@@ -39,9 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+DEFAULT_CONFIG_PATH = "config/config.json"  # reference convention
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
-    cfg = Config.load(args.config) if args.config else Config()
+    # --config wins; otherwise the reference's config/config.json convention
+    cfg = Config.load(args.config or DEFAULT_CONFIG_PATH)
     cfg.inpaint_mode = InpaintMode(args.inpaint_mode)
 
     from vsr_tpu.pipeline import SubtitleRemover

@@ -54,6 +54,16 @@ class STTNDetInpainter:
         )
         self._engines = {}
 
+    def _mesh(self):
+        import jax
+
+        devices = jax.devices()
+        if len(devices) > 1 and devices[0].platform != "cpu":
+            from vsr_tpu.parallel.mesh import create_mesh
+
+            return create_mesh(model=1)
+        return None
+
     def _engine(self, clip_len: int) -> STTNWindowEngine:
         if clip_len not in self._engines:
             self._engines[clip_len] = STTNWindowEngine(
@@ -65,6 +75,7 @@ class STTNDetInpainter:
                 ref_length=self.config.sttn_reference_length,
                 window_batch=self.config.window_batch,
                 masked=True,
+                mesh=self._mesh(),
             )
         return self._engines[clip_len]
 

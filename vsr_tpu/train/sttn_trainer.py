@@ -256,6 +256,34 @@ class STTNTrainer:
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(os.path.abspath(path), self.state)
 
+    # ---- validation (ref trainer valid_freq hooks) ----
+    def evaluate(self, frames: Any, masks: Any) -> Dict[str, float]:
+        """PSNR/SSIM of generator composites on a held-out batch.
+
+        frames [B, T, H, W, 3] in [-1, 1]; masks [B, T, H, W, 1]."""
+        import numpy as np
+
+        from vsr_tpu.utils.metrics import psnr_and_ssim
+
+        frames = jnp.asarray(frames)
+        masks = jnp.asarray(masks)
+        pred = self.generator.apply(
+            self.state.gen_params, frames * (1 - masks), masks)
+        comp = frames * (1 - masks) + pred * masks
+        comp_u8 = np.asarray(jnp.clip((comp + 1) * 127.5, 0, 255)).astype("uint8")
+        gt_u8 = np.asarray(jnp.clip((frames + 1) * 127.5, 0, 255)).astype("uint8")
+        psnrs, ssims = [], []
+        for b in range(comp_u8.shape[0]):
+            for t in range(comp_u8.shape[1]):
+                p, s = psnr_and_ssim(gt_u8[b, t], comp_u8[b, t])
+                if np.isfinite(p):
+                    psnrs.append(p)
+                    ssims.append(s)
+        return {
+            "psnr": float(np.mean(psnrs)) if psnrs else float("inf"),
+            "ssim": float(np.mean(ssims)) if ssims else 1.0,
+        }
+
     # ---- loop ----
     def train(self, data_iter, num_steps: int, log_cb=None) -> Dict[str, float]:
         metrics = {}
