@@ -116,3 +116,19 @@ def test_opencv_inpainter_contract():
     mask[20:40, 20:40] = 255
     out = OpenCVInpainter()(frames, mask)
     assert len(out) == 3 and out[0].shape == (64, 64, 3)
+
+
+def test_frame_count_cap(subtitle_video, tmp_path, monkeypatch):
+    """process_video must not write more frames than frame_count even when
+    the reader yields extras (metadata undercount)."""
+    patch_tiny_sttn(monkeypatch)
+    cfg = tiny_config()
+    remover = SubtitleRemover(
+        subtitle_video, output_path=str(tmp_path / "cap.mp4"),
+        sub_areas=[(200, 240, 40, 280)], config=cfg,
+    )
+    remover.frame_count = 20  # pretend metadata says fewer frames
+    remover.run()
+    cap = cv2.VideoCapture(str(tmp_path / "cap.mp4"))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 20
+    cap.release()

@@ -94,3 +94,31 @@ class TestDetInpainter:
         out = inp(frames, np.zeros((120, 160), np.uint8))
         for a, b in zip(out, frames):
             np.testing.assert_array_equal(a, b)
+
+
+def test_clamped_band_ultrawide(monkeypatch):
+    """Ultra-wide frame: split_h exceeds H, the solver clamps the band to the
+    image, and paste-back must resize to the actual band height."""
+    cfg = Config()
+    cfg.compute_dtype = "float32"
+    cfg.sttn_max_load_num = 4
+    cfg.sttn_reference_length = 2
+    cfg.sttn_neighbor_stride = 1
+    cfg.window_batch = 2
+    from vsr_tpu.inpaint import sttn_det as mod
+
+    orig = mod.STTNGenerator
+    monkeypatch.setattr(
+        mod, "STTNGenerator",
+        lambda **kw: orig(**{**kw, "channel": 16, "stack_num": 1,
+                             "patchsizes_override": TINY_PATCHES}),
+    )
+    inp = STTNDetInpainter(config=cfg, input_size=(64, 48))
+    rng = np.random.default_rng(3)
+    # H=96 < split_h = 400*5/18 = 111 -> clamped band of height 96
+    frames = [rng.integers(0, 256, (96, 400, 3), dtype=np.uint8)
+              for _ in range(3)]
+    mask = np.zeros((96, 400), np.uint8)
+    mask[40:60, 100:300] = 255
+    out = inp(frames, mask)
+    assert len(out) == 3 and out[0].shape == (96, 400, 3)

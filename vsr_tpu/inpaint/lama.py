@@ -30,8 +30,10 @@ MINI_BATCH = 4  # ref :38
 
 
 def pad_to_modulo(arr: np.ndarray, mod: int = 8) -> np.ndarray:
-    """Symmetric-free bottom/right zero pad to the next multiple (ref
-    lama_util.pad_img_to_modulo semantics on HWC arrays)."""
+    """Bottom/right symmetric-reflection pad to the next multiple — matching
+    the reference's np.pad(mode='symmetric') exactly
+    (backend/inpaint/utils/lama_util.py:59); constant padding would degrade
+    inpaint quality at the padded borders."""
     h, w = arr.shape[:2]
     ph = (mod - h % mod) % mod
     pw = (mod - w % mod) % mod

@@ -15,9 +15,13 @@ Masks are dilated with scipy binary_dilation iterations=4 for both flow and
 frame masks (ref read_mask :32-77 with mask_dilation=4). The band __call__
 crops native-resolution full-width bands rounded to multiples of 8.
 
-Stage programs are jitted per distinct clip length; the pipeline's
-batch_generator yields at most two distinct lengths per video so compile
-count stays bounded.
+Compile-count note: stages 1-3 are jitted per distinct clip length (the
+pipeline's batch_generator yields at most two per video). Stage 4's
+transformer windows are still ragged — boundary windows have fewer neighbors
+and per-window ref sets vary, so a handful of (selection length, l_t) shapes
+compile per clip length. Making stage 4 static-shape like the STTN engine
+requires threading frame-validity masks through the generator's propagation
+and window attention; tracked for the next round.
 """
 
 from __future__ import annotations
@@ -104,19 +108,36 @@ class PropainterInpainter:
 
             return os.path.join(checkpoint_dir, name)
 
+        from vsr_tpu.convert.torch_propainter import (
+            convert_flow_completion,
+            convert_propainter_generator,
+        )
+        from vsr_tpu.convert.torch_raft import load_raft_checkpoint
+
+        def torch_loader(convert_fn):
+            def load(path):
+                import torch
+
+                return convert_fn(torch.load(path, map_location="cpu"))
+
+            return load
+
         img = jnp.zeros((1, 64, 64, 3))
         self.raft_params = load_or_init_params(
-            self.raft, (img, img), ckpt("raft.npz"))
+            self.raft, (img, img), ckpt("raft.npz"),
+            torch_converter=load_raft_checkpoint)
         self.flow_params = load_or_init_params(
             self.flow_net,
             (jnp.zeros((1, 2, 64, 64, 2)), jnp.zeros((1, 2, 64, 64, 1))),
-            ckpt("flow_completion.npz"))
+            ckpt("flow_completion.npz"),
+            torch_converter=torch_loader(convert_flow_completion))
         self.gen_params = load_or_init_params(
             self.generator,
             (jnp.zeros((1, 3, 64, 64, 3)),
              (jnp.zeros((1, 1, 64, 64, 2)), jnp.zeros((1, 1, 64, 64, 2))),
              jnp.zeros((1, 3, 64, 64, 1)), jnp.zeros((1, 3, 64, 64, 1)), 2),
-            ckpt("propainter.npz"))
+            ckpt("propainter.npz"),
+            torch_converter=torch_loader(convert_propainter_generator))
 
         self._raft_pair_fn = jax.jit(
             lambda p, a, b: self.raft.apply(p, a, b))

@@ -48,27 +48,21 @@ class STTNAutoInpainter:
         self.model_input_width, self.model_input_height = input_size
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         self.model = STTNGenerator(variant="auto", dtype=dtype)
+        from vsr_tpu.convert.torch_sttn import load_sttn_checkpoint
+
         self.params = load_or_init_params(
             self.model,
             (jnp.zeros((1, 1, self.model_input_height, self.model_input_width, 3)),),
             checkpoint_path,
+            torch_converter=load_sttn_checkpoint,
         )
         self.clip_gap = self.config.get_sttn_max_load_num()
         self._engines = {}
 
     def _mesh(self):
-        """Window-sharding mesh when several accelerator devices are visible
-        (SP scaling path); None on a single chip or on host-CPU backends
-        (virtual CPU meshes are for explicit sharding tests — see
-        tests/test_engine.py::TestMeshSharding — not the default path)."""
-        import jax
+        from vsr_tpu.parallel.mesh import default_inference_mesh
 
-        devices = jax.devices()
-        if len(devices) > 1 and devices[0].platform != "cpu":
-            from vsr_tpu.parallel.mesh import create_mesh
-
-            return create_mesh(model=1)
-        return None
+        return default_inference_mesh()
 
     def _engine(self, clip_len: int, out_rows=None) -> STTNWindowEngine:
         """One engine (one compiled program) per (chunk length, output slice)."""
@@ -221,7 +215,9 @@ class STTNAutoInpainter:
             frames_hr: List[np.ndarray] = []
             in_section: List[bool] = []
             nonlocal frame_no
-            while len(frames_hr) < clip:
+            # cap at frame_count: CAP_PROP_FRAME_COUNT can undercount and the
+            # writer/audio mux must stay in sync with the reported length
+            while len(frames_hr) < clip and frame_no < frame_count:
                 ok, frame = reader.read()
                 if not ok:
                     break

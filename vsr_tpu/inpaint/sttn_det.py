@@ -47,22 +47,20 @@ class STTNDetInpainter:
             variant="det", dtype=dtype, apply_attention_mask=apply_attention_mask
         )
         h, w = self.model_input_height, self.model_input_width
+        from vsr_tpu.convert.torch_sttn import load_sttn_checkpoint
+
         self.params = load_or_init_params(
             self.model,
             (jnp.zeros((1, 1, h, w, 3)), jnp.zeros((1, 1, h, w, 1))),
             checkpoint_path,
+            torch_converter=load_sttn_checkpoint,
         )
         self._engines = {}
 
     def _mesh(self):
-        import jax
+        from vsr_tpu.parallel.mesh import default_inference_mesh
 
-        devices = jax.devices()
-        if len(devices) > 1 and devices[0].platform != "cpu":
-            from vsr_tpu.parallel.mesh import create_mesh
-
-            return create_mesh(model=1)
-        return None
+        return default_inference_mesh()
 
     def _engine(self, clip_len: int) -> STTNWindowEngine:
         if clip_len not in self._engines:
@@ -108,8 +106,9 @@ class STTNDetInpainter:
             binary = (scaled_mask > 0.5).astype(np.float32)
             masks = np.repeat(binary[None], len(input_frames), axis=0)
             comps = self._inpaint_scaled(scaled, masks)
+            band_h = ymax - ymin  # == split_h unless clamped to the image
             for j in range(len(out)):
-                comp = cv2.resize(comps[j], (W, split_h)).astype(np.uint8)
+                comp = cv2.resize(comps[j], (W, band_h)).astype(np.uint8)
                 # full band overwrite (ref :93)
                 out[j][ymin:ymax, :, :] = comp
         return out

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 import warnings
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -19,16 +19,28 @@ def load_or_init_params(
     init_args: Sequence[Any],
     checkpoint_path: Optional[str] = None,
     seed: int = 0,
+    torch_converter: Optional[Callable[[str], Dict[str, Any]]] = None,
 ) -> Dict[str, Any]:
+    """Load converted (.npz) params, convert a torch checkpoint via the
+    model-specific ``torch_converter``, or fall back to random init.
+
+    Raw torch checkpoints need a per-model key mapping — callers that support
+    them pass their converter (e.g. convert.torch_sttn.load_sttn_checkpoint);
+    for the rest a .pth path is a clear error, not a silent misparse.
+    """
     if checkpoint_path and os.path.exists(checkpoint_path):
         if checkpoint_path.endswith(".npz"):
             from vsr_tpu.convert.params_io import load_params
 
             return load_params(checkpoint_path)
         if checkpoint_path.endswith((".pth", ".pt", ".ckpt")):
-            from vsr_tpu.convert.torch_sttn import load_sttn_checkpoint
-
-            return load_sttn_checkpoint(checkpoint_path)
+            if torch_converter is None:
+                raise ValueError(
+                    f"{checkpoint_path}: raw torch checkpoints need a "
+                    "model-specific converter (see vsr_tpu.convert) — "
+                    "convert to .npz first or pass torch_converter"
+                )
+            return torch_converter(checkpoint_path)
         raise ValueError(f"unknown checkpoint format: {checkpoint_path}")
     if checkpoint_path:
         warnings.warn(

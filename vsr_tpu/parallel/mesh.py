@@ -22,6 +22,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def default_inference_mesh() -> Optional[Mesh]:
+    """Window-sharding mesh for inference when several accelerator devices
+    are visible; None on a single chip or host-CPU backends (virtual CPU
+    meshes are for explicit sharding tests, not the default path)."""
+    devices = jax.devices()
+    if len(devices) > 1 and devices[0].platform != "cpu":
+        return create_mesh(model=1)
+    return None
+
+
 def create_mesh(
     devices: Optional[Sequence] = None,
     data: Optional[int] = None,
