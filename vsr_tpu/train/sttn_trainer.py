@@ -230,7 +230,12 @@ class STTNTrainer:
     ):
         self.cfg = cfg or TrainConfig()
         self.mesh = mesh
-        self.generator = generator or STTNGenerator(variant="det")
+        # the reference trains the sttn-auto architecture at 640x120
+        # (trainer_sttn.py:12,54 with configs_sttn/youtube-vos.json w/h) —
+        # the det patch sizes don't divide that geometry. Masks still shape
+        # the loss and the masked encoder input; the auto attention is
+        # unmasked by design.
+        self.generator = generator or STTNGenerator(variant="auto")
         self.discriminator = discriminator or VideoDiscriminator(
             use_sigmoid=self.cfg.gan_loss != "hinge"
         )
