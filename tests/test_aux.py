@@ -160,3 +160,9 @@ class TestCommonUtils:
         cap = cv2.VideoCapture(out)
         assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
         cap.release()
+
+
+def test_packaged_chinese_locale():
+    t = Translator("ch")
+    assert t.text("Main", "FinishedProcessing", "x") == "完成: x"
+    assert t.text("InpaintMode", "LAMA") == "LaMa"

@@ -94,13 +94,20 @@ class SubtitleDetector:
 
     # ---- detection ----
     def _detect_batch(self, frames_bgr: List[np.ndarray]) -> List[List[Box]]:
-        """DBNet over a batch of equally-sized BGR frames -> boxes per frame."""
+        """DBNet over a batch of equally-sized BGR frames -> boxes per frame.
+
+        Tail batches pad to batch_size (replicated last frame, results
+        dropped) so each video resolution compiles exactly one program."""
+        n = len(frames_bgr)
         h, w = frames_bgr[0].shape[:2]
         batch = np.stack([preprocess_frame(f) for f in frames_bgr])
+        if n < self.batch_size:
+            pad = np.repeat(batch[-1:], self.batch_size - n, axis=0)
+            batch = np.concatenate([batch, pad])
         self._ensure_params(batch[0])
         prob = np.asarray(self._forward(self._params, jnp.asarray(batch)))
         results: List[List[Box]] = []
-        for i in range(len(frames_bgr)):
+        for i in range(n):
             quads = db_postprocess(prob[i, ..., 0], (h, w))
             results.append(get_coordinates([q.tolist() for q in quads]))
         return results

@@ -49,7 +49,9 @@ class Translator:
     def __init__(self, locale: str = "en", locale_dir: Optional[str] = None):
         self.locale = locale
         self._catalog = {k: dict(v) for k, v in _EN.items()}
-        locale_dir = locale_dir or os.environ.get("VSR_TPU_LOCALE_DIR")
+        locale_dir = locale_dir or os.environ.get(
+            "VSR_TPU_LOCALE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "locales"))
         if locale != "en" and locale_dir:
             path = os.path.join(locale_dir, f"{locale}.ini")
             if os.path.exists(path):
