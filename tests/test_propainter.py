@@ -201,3 +201,46 @@ class TestOutpainting:
         y0, x0 = (eh - 64) // 2, (ew - 96) // 2
         np.testing.assert_array_equal(
             out[1][y0 : y0 + 64, x0 : x0 + 96], frames[1])
+
+
+class TestStaticWindows:
+    def test_static_matches_dynamic(self, monkeypatch):
+        """The padded static window scheduling must reproduce the ragged
+        reference scheduling frame for frame."""
+        from vsr_tpu.inpaint.propainter import PropainterInpainter
+
+        cfg = Config()
+        cfg.compute_dtype = "float32"
+        cfg.propainter_raft_iters = 2
+        kw = dict(
+            config=cfg,
+            generator_kwargs=dict(channel=16, hidden=32, depths=2, n_head=2,
+                                  window_size=(3, 4), pool_size=(2, 2)),
+            raft_kwargs=dict(corr_levels=2, corr_radius=2),
+        )
+        rng = np.random.default_rng(9)
+        frames = [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+                  for _ in range(12)]
+        mask = np.zeros((48, 64), np.uint8)
+        mask[16:32, 16:48] = 255
+
+        inp_static = PropainterInpainter(**kw)
+        assert inp_static.static_windows
+        out_static = inp_static.inpaint(frames, mask)
+
+        monkeypatch.setenv("VSR_PP_DYNAMIC_WINDOWS", "1")
+        inp_dyn = PropainterInpainter(**kw)
+        assert not inp_dyn.static_windows
+        out_dyn = inp_dyn.inpaint(frames, mask)
+
+        # Interior windows are exact. Boundary windows differ slightly by
+        # design: the reference's t_dilation key subsets are position-based
+        # (arange(i, T, 2)), so ragged boundary selections place refs at
+        # different parities than any fixed-shape padding can reproduce.
+        stride = inp_static.neighbor_stride
+        diffs = [np.abs(a.astype(int) - b.astype(int))
+                 for a, b in zip(out_static, out_dyn)]
+        for d in diffs[stride + 1 : len(diffs) - stride - 1]:
+            assert d.max() <= 1
+        for d in diffs:
+            assert d.mean() < 1.0  # boundary windows stay close

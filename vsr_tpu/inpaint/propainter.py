@@ -16,12 +16,16 @@ frame masks (ref read_mask :32-77 with mask_dilation=4). The band __call__
 crops native-resolution full-width bands rounded to multiples of 8.
 
 Compile-count note: stages 1-3 are jitted per distinct clip length (the
-pipeline's batch_generator yields at most two per video). Stage 4's
-transformer windows are still ragged — boundary windows have fewer neighbors
-and per-window ref sets vary, so a handful of (selection length, l_t) shapes
-compile per clip length. Making stage 4 static-shape like the STTN engine
-requires threading frame-validity masks through the generator's propagation
-and window attention; tracked for the next round.
+pipeline's batch_generator yields at most two per video). Stage 4 uses
+static window scheduling by default: every window pads to (max neighbors +
+max refs) with frame-validity masks threaded through the generator
+(attention key bias + gated propagation scans), so ONE program compiles per
+clip length. Interior windows match the ragged reference scheduling exactly
+(tested); boundary windows differ marginally because the reference's
+t_dilation key subsets are position-based (arange(i, T, 2)) and ragged
+boundary selections place refs at parities no fixed shape can reproduce.
+Set VSR_PP_DYNAMIC_WINDOWS=1 for the exact ragged scheduling (one compile
+per distinct window shape).
 """
 
 from __future__ import annotations
@@ -143,9 +147,15 @@ class PropainterInpainter:
             lambda p, a, b: self.raft.apply(p, a, b))
         self._flow_complete_fn = jax.jit(self._flow_complete)
         self._img_prop_fn = jax.jit(image_propagation)
+        # static window scheduling: pad every window to one shape per clip
+        # length (VSR_PP_DYNAMIC_WINDOWS=1 restores the ragged reference
+        # scheduling for A/B comparison)
+        import os
+
+        self.static_windows = os.environ.get("VSR_PP_DYNAMIC_WINDOWS") != "1"
         self._gen_fn = jax.jit(
-            lambda p, fr, fl, m, mu, lt: self.generator.apply(
-                p, fr, fl, m, mu, lt),
+            lambda p, fr, fl, m, mu, lt, fv: self.generator.apply(
+                p, fr, fl, m, mu, lt, frame_valid=fv),
             static_argnums=(5,))
 
     # ---- stages ----
@@ -264,23 +274,65 @@ class PropainterInpainter:
         # 4) windowed transformer + composite
         comp_frames: List[Optional[np.ndarray]] = [None] * T
         ref_num = self.sub_video_length // self.ref_stride if T > self.sub_video_length else -1
+
+        # precompute window selections; in static mode pad every window to
+        # (n_max neighbors + r_max refs) with validity flags so one program
+        # compiles per clip length instead of one per ragged shape
+        windows = []
         for f in range(0, T, self.neighbor_stride):
-            neighbor_ids = list(range(max(0, f - self.neighbor_stride),
-                                      min(T, f + self.neighbor_stride + 1)))
-            ref_ids = get_ref_index(f, neighbor_ids, T, self.ref_stride, ref_num)
-            sel = neighbor_ids + ref_ids
-            l_t = len(neighbor_ids)
-            sel_flows = (
-                jnp.asarray(comp_f[np.asarray(neighbor_ids[:-1])][None]),
-                jnp.asarray(comp_b[np.asarray(neighbor_ids[:-1])][None]),
-            )
+            ns = list(range(max(0, f - self.neighbor_stride),
+                            min(T, f + self.neighbor_stride + 1)))
+            rs = get_ref_index(f, ns, T, self.ref_stride, ref_num)
+            windows.append((ns, rs))
+        static = self.static_windows
+        n_max = max(len(ns) for ns, _ in windows)
+        r_max = max(len(rs) for _, rs in windows)
+
+        for neighbor_ids, ref_ids in windows:
+            if static:
+                n_pad = n_max - len(neighbor_ids)
+                r_pad = r_max - len(ref_ids)
+                sel = (neighbor_ids + [neighbor_ids[-1]] * n_pad
+                       + ref_ids + [0] * r_pad)
+                valid = np.zeros((1, len(sel)), bool)
+                valid[0, : len(neighbor_ids)] = True
+                valid[0, n_max : n_max + len(ref_ids)] = True
+                l_t = n_max
+                # masks of padded slots are zeroed (no attention occupancy)
+                sel_arr = np.asarray(sel)
+                sel_masks = masks_dilated[sel_arr].copy()
+                sel_upd = updated_masks[sel_arr].copy()
+                sel_masks[~valid[0]] = 0
+                sel_upd[~valid[0]] = 0
+                # neighbor-pair flows; zero the padded pairs
+                pair_ids = np.asarray(
+                    neighbor_ids[:-1]
+                    + [neighbor_ids[-1] - 1] * n_pad)[: n_max - 1]
+                flows_f_sel = comp_f[pair_ids].copy()
+                flows_b_sel = comp_b[pair_ids].copy()
+                n_valid_pairs = len(neighbor_ids) - 1
+                flows_f_sel[n_valid_pairs:] = 0
+                flows_b_sel[n_valid_pairs:] = 0
+                frame_valid = jnp.asarray(valid)
+            else:
+                sel = neighbor_ids + ref_ids
+                sel_arr = np.asarray(sel)
+                sel_masks = masks_dilated[sel_arr]
+                sel_upd = updated_masks[sel_arr]
+                flows_f_sel = comp_f[np.asarray(neighbor_ids[:-1])]
+                flows_b_sel = comp_b[np.asarray(neighbor_ids[:-1])]
+                l_t = len(neighbor_ids)
+                frame_valid = None
+            sel_flows = (jnp.asarray(flows_f_sel[None]),
+                         jnp.asarray(flows_b_sel[None]))
             pred = self._gen_fn(
                 self.gen_params,
-                jnp.asarray(updated_frames[np.asarray(sel)][None]),
+                jnp.asarray(updated_frames[sel_arr][None]),
                 sel_flows,
-                jnp.asarray(masks_dilated[np.asarray(sel)][None]),
-                jnp.asarray(updated_masks[np.asarray(sel)][None]),
+                jnp.asarray(sel_masks[None]),
+                jnp.asarray(sel_upd[None]),
                 l_t,
+                frame_valid,
             )
             pred = np.asarray(pred[0])
             pred_u8 = np.clip((pred + 1) / 2 * 255, 0, 255).astype(np.uint8)

@@ -218,7 +218,7 @@ class _FeatSweepStep(nn.Module):
     @nn.compact
     def __call__(self, carry, xs):
         feat_prop, step = carry
-        feat_current, mask_current, flow_prop, flow_check = xs
+        feat_current, mask_current, flow_prop, flow_check, step_valid = xs
         valid = fb_consistency_check(flow_prop, flow_check)
         feat_warped = flow_warp(feat_prop, flow_prop)
         cond = jnp.concatenate(
@@ -226,12 +226,16 @@ class _FeatSweepStep(nn.Module):
         aligned = DeformableAlignment(
             self.channels, dtype=self.dtype, name="align")(
                 feat_prop, cond, flow_prop)
-        feat_prop = jnp.where(step > 0, aligned, feat_current)
-        feat = jnp.concatenate([feat_current, feat_prop, mask_current], axis=-1)
+        new_prop = jnp.where(step > 0, aligned, feat_current)
+        feat = jnp.concatenate([feat_current, new_prop, mask_current], axis=-1)
         y = _lrelu(_conv(self.channels, dtype=self.dtype, name="bb0")(feat))
         y = _conv(self.channels, dtype=self.dtype, name="bb1")(y)
-        feat_prop = feat_prop + y
-        return (feat_prop, step + 1), feat_prop
+        new_prop = new_prop + y
+        # padded (invalid) steps pass the carry through untouched so they
+        # neither pollute the recurrent state nor advance the step counter
+        feat_prop_next = jnp.where(step_valid, new_prop, feat_prop)
+        step_next = step + step_valid.astype(step.dtype)
+        return (feat_prop_next, step_next), new_prop
 
 
 class FeaturePropagation(nn.Module):
@@ -243,13 +247,16 @@ class FeaturePropagation(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, flows_f, flows_b, masks):
+    def __call__(self, x, flows_f, flows_b, masks, frame_valid=None):
         """x [B, T, H, W, C]; flows_* [B, T-1, H, W, 2];
         masks [B, T, H, W, 2] (mask_in, mask_updated) — the full 2-channel
         mask feeds the alignment cond, the backbone AND the fuse (ref
-        propainter.py:46,90,154,168,186)."""
+        propainter.py:46,90,154,168,186). frame_valid: [T] bool — padded
+        frames pass the recurrent state through untouched."""
         B, T, H, W, C = x.shape
         mask_current = masks
+        if frame_valid is None:
+            frame_valid = jnp.ones((T,), bool)
 
         def run(name, seq_x, seq_m, flows_prop, flows_check, reverse):
             scan = nn.scan(
@@ -257,11 +264,13 @@ class FeaturePropagation(nn.Module):
                 variable_broadcast="params", split_rngs={"params": False},
                 in_axes=0, out_axes=0,
             )(self.channels, self.dtype, name=name)
+            fv = frame_valid
             if reverse:
                 seq_x = seq_x[:, ::-1]
                 seq_m = seq_m[:, ::-1]
                 flows_prop = flows_prop[:, ::-1]
                 flows_check = flows_check[:, ::-1]
+                fv = fv[::-1]
             sx = seq_x.transpose(1, 0, 2, 3, 4)
             sm = seq_m.transpose(1, 0, 2, 3, 4)
             fp = flows_prop.transpose(1, 0, 2, 3, 4)
@@ -270,7 +279,7 @@ class FeaturePropagation(nn.Module):
             fp = jnp.concatenate([pad, fp], axis=0)
             fc = jnp.concatenate([pad, fc], axis=0)
             init = (jnp.zeros((B, H, W, C), x.dtype), jnp.zeros((), jnp.int32))
-            _, out = scan(init, (sx, sm, fp, fc))
+            _, out = scan(init, (sx, sm, fp, fc, fv))
             out = out.transpose(1, 0, 2, 3, 4)
             return out[:, ::-1] if reverse else out
 
@@ -382,9 +391,13 @@ class SparseWindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, t_ind: Optional[np.ndarray] = None):
+    def __call__(self, x, mask, t_ind: Optional[np.ndarray] = None,
+                 frame_valid: Optional[jnp.ndarray] = None):
         """x [B, T, H, W, C]; mask [B, lt, H, W, 1]; t_ind: static frame
-        subset for temporal-dilated keys. Returns [B, T, H, W, C]."""
+        subset for temporal-dilated keys; frame_valid: [B, T] bool — invalid
+        (padded) frames are removed from the masked branch's key set (their
+        own outputs are garbage and discarded by the caller).
+        Returns [B, T, H, W, C]."""
         B, T, H, W, C = x.shape
         wh, ww = self.window_size
         head, ch = self.n_head, C // self.n_head
@@ -455,15 +468,23 @@ class SparseWindowAttention(nn.Module):
         if t_ind is not None:
             keys_t = keys[:, :, :, jnp.asarray(t_ind)]
             vals_t = vals[:, :, :, jnp.asarray(t_ind)]
+            valid_t = (frame_valid[:, jnp.asarray(t_ind)]
+                       if frame_valid is not None else None)
         else:
             keys_t = keys
             vals_t = vals
-        Nk = keys_t.shape[3] * keys_t.shape[4]
+            valid_t = frame_valid
+        n_tok_per_frame = keys_t.shape[4]
+        Nk = keys_t.shape[3] * n_tok_per_frame
         kt = keys_t.reshape(B, nW, head, Nk, ch)
         vt = vals_t.reshape(B, nW, head, Nk, ch)
         qt = win_q.reshape(B, nW, head, T * S, ch)
         att = jnp.einsum("bwhnc,bwhmc->bwhnm", qt, kt,
                          preferred_element_type=jnp.float32) / math.sqrt(ch)
+        if valid_t is not None:
+            key_bias = jnp.where(
+                jnp.repeat(valid_t, n_tok_per_frame, axis=1), 0.0, -1e9)
+            att = att + key_bias[:, None, None, None, :]
         att = jax.nn.softmax(att, axis=-1).astype(vt.dtype)
         out_masked = jnp.einsum("bwhnm,bwhmc->bwhnc", att, vt,
                                 preferred_element_type=jnp.float32)
@@ -501,14 +522,14 @@ class TemporalSparseTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fold_hw, mask, t_ind=None):
+    def __call__(self, x, fold_hw, mask, t_ind=None, frame_valid=None):
         B, T, fh, fw, C = x.shape
         shortcut = x
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(x)
         att = SparseWindowAttention(
             self.dim, self.n_head, self.window_size, self.pool_size,
-            self.dtype, name="attention")(y, mask, t_ind)
+            self.dtype, name="attention")(y, mask, t_ind, frame_valid)
         x = shortcut + att
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm2")(x)
@@ -558,11 +579,15 @@ class ProPainterGenerator(nn.Module):
         return jnp.tanh(self.dec_conv2(x))
 
     def __call__(self, masked_frames, completed_flows, masks_in, masks_updated,
-                 num_local_frames: int, t_dilation: int = 2):
+                 num_local_frames: int, t_dilation: int = 2,
+                 frame_valid=None):
         """All video tensors are NHWC time-major:
         masked_frames [B, T, H, W, 3] in [-1, 1]; completed_flows
         ([B, lt-1, H, W, 2] x2); masks_* [B, T, H, W, 1].
-        Returns inpainted local frames [B, lt, H, W, 3] (inference path).
+        frame_valid: optional [B, T] bool marking padded slots (static-shape
+        window scheduling): invalid frames are excluded from attention keys
+        and pass propagation state through; their outputs are garbage the
+        caller discards. Returns inpainted local frames [B, lt, H, W, 3].
         """
         l_t = num_local_frames
         B, T, H, W, _ = masked_frames.shape
@@ -594,8 +619,10 @@ class ProPainterGenerator(nn.Module):
 
         prop_mask = jnp.concatenate(
             [ds_mask_in_local, ds_mask_updated_local], axis=-1).astype(self.dtype)
+        local_valid = frame_valid[0, :l_t] if frame_valid is not None else None
         local_feat = self.feat_prop_module(
-            local_feat, ds_flows_f, ds_flows_b, prop_mask)
+            local_feat, ds_flows_f, ds_flows_b, prop_mask,
+            frame_valid=local_valid)
         enc = jnp.concatenate([local_feat, ref_feat], axis=1)
 
         tokens = self.ss(enc.reshape(B * T, h, w, self.channel))
@@ -604,7 +631,7 @@ class ProPainterGenerator(nn.Module):
         t_inds = [np.arange(i, T, t_dilation) for i in range(t_dilation)]
         for i, block in enumerate(self.transformers):
             tokens = block(tokens, (h, w), mask_pool,
-                           t_inds[i % t_dilation])
+                           t_inds[i % t_dilation], frame_valid)
 
         comp = self.sc(tokens.reshape(B * T, fh, fw, self.hidden), (h, w))
         enc = enc + comp.reshape(B, T, h, w, self.channel)
