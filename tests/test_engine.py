@@ -158,3 +158,23 @@ class TestMeshSharding:
         diff = np.abs(a.astype(int) - b.astype(int))
         assert diff.max() <= 1
         assert (diff > 0).mean() <= 0.01
+
+
+class TestEquivalenceAcrossConfigs:
+    @pytest.mark.parametrize("stride,ref_length,t_valid", [
+        (3, 5, 18), (7, 4, 15), (2, 9, 11), (4, 4, 16),
+    ])
+    def test_matches_naive_sweep_configs(self, tiny_model, stride, ref_length,
+                                         t_valid):
+        """The static engine must track the ragged reference semantics for
+        arbitrary stride/ref-length combinations, not just the defaults."""
+        model, params = tiny_model
+        rng = np.random.default_rng(stride * 100 + ref_length)
+        frames = rng.integers(0, 256, (t_valid, H, W, 3), dtype=np.uint8)
+        engine = STTNWindowEngine(
+            model, params, clip_len=t_valid + 2, input_hw=(H, W),
+            stride=stride, ref_length=ref_length, window_batch=3,
+        )
+        got = engine.process_chunk(frames)
+        want = naive_reference_sweep(model, params, frames, stride, ref_length)
+        assert_mostly_equal(got, want)

@@ -24,9 +24,10 @@ Toolchain status (round 1): this environment's remote Mosaic compiler
 strip->token relayout feeding the MXU (bisected: the 5D block specs, 3D
 grid, scratch accumulation, SMEM bias, and plain [32, 960] dots each compile
 fine in isolation; reshape(ph, n_tok, pw, dk).transpose(1, 0, 2, 3) feeding a
-dot does not, even when materialized through VMEM scratch). The XLA lowering
-of ops/patch_attention.py remains the production path until the kernel can
-be compiled on a standard Mosaic build.
+dot does not, even when materialized through VMEM scratch; multi-contracting
+-dim dot_general fails 'tpu.matmul' op verification). The XLA lowering of
+ops/patch_attention.py remains the production path until the kernel can be
+compiled on a standard Mosaic build.
 """
 
 from __future__ import annotations
