@@ -71,6 +71,13 @@ def convert_state_dict(
                 params[f"{flax_path}/kernel"] = jnp.asarray(arr.transpose(2, 3, 4, 1, 0))
             else:
                 params[f"{flax_path}/bias"] = jnp.asarray(arr)
+        elif kind == "convtranspose2d":
+            # torch ConvTranspose2d weight (I, O, kh, kw) -> flax ConvTranspose
+            # kernel (kh, kw, O, I) with transpose_kernel=True
+            if leaf == "weight":
+                params[f"{flax_path}/kernel"] = jnp.asarray(arr.transpose(2, 3, 1, 0))
+            else:
+                params[f"{flax_path}/bias"] = jnp.asarray(arr)
         elif kind == "linear":
             if leaf == "weight":
                 params[f"{flax_path}/kernel"] = jnp.asarray(arr.T)

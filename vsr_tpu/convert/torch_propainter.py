@@ -57,7 +57,12 @@ _GEN_RULES += [
 
 
 def convert_propainter_generator(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
-    return convert_state_dict(state_dict, _GEN_RULES)
+    # `attention.valid_ind_rolled` is a registered *buffer* (a constant
+    # rolled-window index table, sparse_transformer.py:112-115); we rebuild it
+    # at trace time (generator._rolled_valid_indices), so drop it here.
+    filtered = {k: v for k, v in state_dict.items()
+                if not k.endswith("valid_ind_rolled")}
+    return convert_state_dict(filtered, _GEN_RULES)
 
 
 # ---- recurrent flow completion (recurrent_flow_completion.pth) ----

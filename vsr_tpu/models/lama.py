@@ -86,13 +86,18 @@ class FFC(nn.Module):
         out_g = int(self.features * self.ratio_gout)
         out_l = self.features - out_g
         pad = self.kernel // 2
-        padding = ((pad, pad), (pad, pad))
 
         def conv(features, name):
-            return nn.Conv(features, (self.kernel, self.kernel),
-                           strides=(self.stride, self.stride), padding=padding,
-                           use_bias=False, dtype=self.dtype,
-                           param_dtype=jnp.float32, name=name)
+            # big-lama's FFC convs use padding_mode='reflect'
+            # (saicinpainting ffc.py FFC.__init__ padding_type default);
+            # reflect-pad on the host graph then VALID conv matches torch.
+            inner = nn.Conv(features, (self.kernel, self.kernel),
+                            strides=(self.stride, self.stride),
+                            padding="VALID", use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, name=name)
+            if pad == 0:
+                return inner
+            return lambda x: inner(_reflect_pad(x, pad))
 
         has_g_in = x_g is not None and x_g.shape[-1] > 0
         yl = conv(out_l, "l2l")(x_l) if out_l else None
@@ -192,10 +197,13 @@ class LamaGenerator(nn.Module):
 
         for i in range(self.n_downsampling):
             feats = feats // 2
-            # torch ConvTranspose2d(k3, s2, p1, output_padding=1) == explicit
-            # ((1,2),(1,2)) transpose padding (validated in tests vs torch)
+            # torch ConvTranspose2d(k3, s2, p1, output_padding=1) == flax
+            # ConvTranspose with explicit ((1,2),(1,2)) padding and
+            # transpose_kernel=True (validated in tests/test_lama.py). Bias on,
+            # matching big-lama's ConvTranspose2d (bias followed by BN).
             x = nn.ConvTranspose(feats, (3, 3), strides=(2, 2),
-                                 padding=((1, 2), (1, 2)), use_bias=False,
+                                 padding=((1, 2), (1, 2)), use_bias=True,
+                                 transpose_kernel=True,
                                  dtype=self.dtype, param_dtype=jnp.float32,
                                  name=f"up{i}")(x)
             x = _bn(train, self.dtype, f"up{i}_bn")(x)

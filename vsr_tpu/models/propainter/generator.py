@@ -597,11 +597,16 @@ class ProPainterGenerator(nn.Module):
         enc = enc.reshape(B, T, h, w, self.channel)
         local_feat, ref_feat = enc[:, :l_t], enc[:, l_t:]
 
-        # 1/4-scale flows (bilinear, half-pixel — matches F.interpolate
-        # align_corners=False) and nearest masks
+        # 1/4-scale flows. torch F.interpolate(bilinear, align_corners=False,
+        # antialias=False) samples src = 4*i + 1.5 per axis — the mean of taps
+        # 1 and 2 in each 4-block. (jax.image.resize antialiases on
+        # downsample and does NOT match; caught by
+        # tests/test_activation_parity.py::TestProPainterGeneratorParity.)
         flows_f, flows_b = completed_flows
-        ds = lambda f: jax.image.resize(
-            f, (f.shape[0], f.shape[1], h, w, 2), "bilinear") / 4.0
+
+        def ds(f):
+            a = (f[:, :, 1::4] + f[:, :, 2::4]) * 0.5
+            return (a[:, :, :, 1::4] + a[:, :, :, 2::4]) * 0.5 / 4.0
         ds_flows_f = ds(flows_f).astype(self.dtype)
         ds_flows_b = ds(flows_b).astype(self.dtype)
         ds_mask_in = masks_in[:, :, ::4, ::4]

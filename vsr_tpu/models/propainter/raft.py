@@ -127,9 +127,13 @@ def lookup_corr(
         jnp.linspace(-r, r, 2 * r + 1), jnp.linspace(-r, r, 2 * r + 1),
         indexing="xy",
     )
-    # torch meshgrid(dy, dx) stacked (dy, dx) last -> delta ordered (y, x);
-    # grid sampling wants (x, y): build both consistently row-major over (dy, dx)
-    delta = jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)  # [(2r+1)^2, 2]
+    # Tap ordering quirk (checkpoint-compat critical): the reference builds
+    # delta as meshgrid(dy, dx) but adds it to (x, y)-ordered coords
+    # (raft/corr.py:34-40), so plane k = i*(2r+1)+j samples at
+    # (x + i - r, y + j - r) — the X offset varies slowest. Converted update
+    # block weights expect exactly this plane order (verified by
+    # tests/test_activation_parity.py::TestRAFTParity).
+    delta = jnp.stack([dy.reshape(-1), dx.reshape(-1)], axis=-1)  # [(2r+1)^2, 2]
     outs = []
     for i, corr in enumerate(pyramid):
         centroid = coords.reshape(B * h1 * w1, 1, 2) / (2 ** i)
@@ -223,7 +227,7 @@ def convex_upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     m = jax.nn.softmax(m, axis=3)
     patches = _extract_patches_3x3(8.0 * flow)  # [B, H, W, 9, 2]
     up = jnp.einsum("bhwkrc,bhwkf->bhwrcf", m, patches)
-    up = up.transpose(0, 1, 4, 2, 5, 3)  # B, H, r, W, c, 2
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # B, H, r, W, c, 2
     return up.reshape(B, 8 * H, 8 * W, 2)
 
 
