@@ -87,6 +87,39 @@ def test_writer_accepts_float_frames(tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def _fake_ffmpeg(tmp_path, script_body: str) -> str:
+    fake = tmp_path / "fake_ffmpeg"
+    fake.write_text(f"#!/bin/sh\n{script_body}\n")
+    fake.chmod(0o755)
+    return str(fake)
+
+
+def test_writer_raises_when_encoder_dies_midstream(tmp_path, monkeypatch):
+    """An encoder that dies mid-run must surface as an error, not a silently
+    truncated file (VERDICT weak #6)."""
+    import vsr_tpu.io.video as vio
+
+    fake = _fake_ffmpeg(tmp_path, "head -c 1000 > /dev/null\nexit 1")
+    monkeypatch.setattr(vio, "find_ffmpeg", lambda: fake)
+    writer = vio.VideoWriter(str(tmp_path / "dead.mp4"), 25, (64, 48))
+    frame = np.zeros((48, 64, 3), np.uint8)
+    with pytest.raises(IOError):
+        for _ in range(300):  # >> pipe buffer, forces EPIPE
+            writer.write(frame)
+        writer.release()
+
+
+def test_writer_release_checks_returncode(tmp_path, monkeypatch):
+    import vsr_tpu.io.video as vio
+
+    fake = _fake_ffmpeg(tmp_path, "cat > /dev/null\nexit 3")
+    monkeypatch.setattr(vio, "find_ffmpeg", lambda: fake)
+    writer = vio.VideoWriter(str(tmp_path / "rc.mp4"), 25, (64, 48))
+    writer.write(np.zeros((48, 64, 3), np.uint8))
+    with pytest.raises(IOError):
+        writer.release()
+
+
 def test_audio_merge_falls_back_without_audio(tmp_path, tiny_video):
     # tiny_video has no audio stream; with or without ffmpeg the call must
     # produce the output and report merged=False.

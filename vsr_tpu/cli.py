@@ -18,8 +18,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vsr_tpu",
         description="TPU-native video subtitle remover",
     )
-    parser.add_argument("--input", "-i", required=True, type=str,
-                        help="Input video/image file path")
+    parser.add_argument("--input", "-i", type=str, default=None,
+                        help="Input video/image file path (required unless "
+                             "--check-update)")
     parser.add_argument("--output", "-o", type=str, default=None,
                         help="Output file path (optional)")
     parser.add_argument(
@@ -36,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Directory with converted model checkpoints (.npz)")
     parser.add_argument("--config", type=str, default=None,
                         help="Path to a config JSON")
+    parser.add_argument("--lang", type=str, default=None,
+                        help="UI locale (default: en, like the reference CLI; "
+                             "see vsr_tpu.i18n.available_locales())")
+    parser.add_argument("--check-update", action="store_true",
+                        help="Query the latest release and exit")
     return parser
 
 
@@ -44,9 +50,29 @@ DEFAULT_CONFIG_PATH = "config/config.json"  # reference convention
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.check_update:
+        from vsr_tpu.utils.version_service import check_latest_release
+        from vsr_tpu.version import __version__
+
+        info = check_latest_release()
+        if info is None:
+            print(f"vsr_tpu {__version__}: release info unreachable")
+        elif info["newer"]:
+            print(f"vsr_tpu {__version__}: update available "
+                  f"{info['tag']} ({info['url']})")
+        else:
+            print(f"vsr_tpu {__version__}: up to date ({info['tag']})")
+        return 0
+    if not args.input:
+        build_parser().error("--input/-i is required")
     # --config wins; otherwise the reference's config/config.json convention
     cfg = Config.load(args.config or DEFAULT_CONFIG_PATH)
     cfg.inpaint_mode = InpaintMode(args.inpaint_mode)
+    # the reference CLI forces the en locale (backend/main.py:476); --lang or
+    # config.interface override
+    from vsr_tpu.i18n import set_locale
+
+    set_locale(args.lang or cfg.interface or "en")
 
     from vsr_tpu.pipeline import SubtitleRemover
 

@@ -57,6 +57,11 @@ class Config:
     inpaint_mode: InpaintMode = InpaintMode.STTN_AUTO
     subtitle_detect_mode: SubtitleDetectMode = SubtitleDetectMode.PP_OCRv5_SERVER
 
+    # UI locale (ref: backend/config.py interface knob keying tr, :123-126).
+    # One of vsr_tpu.i18n.available_locales(); CLI forces "en" like the
+    # reference's __main__ (backend/main.py:476).
+    interface: str = "en"
+
     # Detection geometry tolerances, pixels (ref: backend/config.py:59-66)
     subtitle_yx_axis_difference_pixel: int = 10   # taller-than-wide => not a subtitle
     subtitle_area_deviation_pixel: int = 10       # mask dilation

@@ -26,6 +26,7 @@ _EN: Dict[str, Dict[str, str]] = {
         "ProcessingTime": "processing time: {}s",
         "FailToExtractAudio": "failed to extract audio: {}",
         "FailToMergeAudio": "failed to merge audio: {}",
+        "FFmpegMissingNote": "ffmpeg not found; writing video without audio",
         "CopyFileFailed": "failed to copy {} to {}: {}",
         "ReadImageFailed": "failed to read image: {}",
         "SubtitleRemoverModel": "inpaint model: {}",
@@ -72,3 +73,25 @@ class Translator:
 
 
 tr = Translator()
+
+
+def set_locale(locale: str, locale_dir: Optional[str] = None) -> Translator:
+    """Swap the process-wide catalog (ref keys tr off config.interface,
+    backend/config.py:123-126). Mutates the shared ``tr`` in place so
+    modules holding ``from vsr_tpu.i18n import tr`` see the change."""
+    fresh = Translator(locale, locale_dir)
+    tr.locale = fresh.locale
+    tr._catalog = fresh._catalog
+    return tr
+
+
+def available_locales(locale_dir: Optional[str] = None) -> list:
+    locale_dir = locale_dir or os.environ.get(
+        "VSR_TPU_LOCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "locales"))
+    names = {"en"}
+    if os.path.isdir(locale_dir):
+        for fn in os.listdir(locale_dir):
+            if fn.endswith(".ini"):
+                names.add(fn[:-4])
+    return sorted(names)

@@ -56,7 +56,15 @@ class STTNAutoInpainter:
             checkpoint_path,
             torch_converter=load_sttn_checkpoint,
         )
-        self.clip_gap = self.config.get_sttn_max_load_num()
+        # HBM-adaptive chunk length (the reference's free-VRAM clip_gap clamp,
+        # sttn_auto_inpaint.py:229-238): only ever shrinks the configured gap.
+        from vsr_tpu.utils.device import Accelerator
+
+        self.clip_gap = Accelerator.instance().adaptive_clip_len(
+            self.config.get_sttn_max_load_num(),
+            self.model_input_height, self.model_input_width,
+            minimum=self.config.sttn_reference_length,
+        )
         self._engines = {}
 
     def _mesh(self):

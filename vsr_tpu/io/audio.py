@@ -14,6 +14,7 @@ import subprocess
 import tempfile
 from typing import Callable, Optional
 
+from vsr_tpu.i18n import tr
 from vsr_tpu.io.ffmpeg import find_ffmpeg
 
 
@@ -32,7 +33,7 @@ def merge_audio_to_video(
     log = log or (lambda msg: None)
     ffmpeg = find_ffmpeg()
     if ffmpeg is None:
-        log("ffmpeg not found; writing video without audio")
+        log(tr.text("Main", "FFmpegMissingNote"))
         _copy(silent_video, output_path)
         return False
 
@@ -46,7 +47,7 @@ def merge_audio_to_video(
         try:
             subprocess.check_output(extract, stdin=subprocess.DEVNULL, timeout=timeout)
         except Exception as e:  # no audio stream, unsupported codec, ...
-            log(f"audio extract failed: {e}")
+            log(tr.text("Main", "FailToExtractAudio", e))
             _copy(silent_video, output_path)
             return False
 
@@ -58,7 +59,7 @@ def merge_audio_to_video(
         try:
             subprocess.check_output(merge, stdin=subprocess.DEVNULL, timeout=timeout)
         except Exception as e:
-            log(f"audio merge failed: {e}")
+            log(tr.text("Main", "FailToMergeAudio", e))
             _copy(silent_video, output_path)
             return False
         return True

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import queue
 import subprocess
+import tempfile
 import threading
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
@@ -154,6 +155,7 @@ class VideoWriter:
         self._proc: Optional[subprocess.Popen] = None
         self._cv2_writer: Optional[cv2.VideoWriter] = None
         self._frames_written = 0
+        self._stderr_file = None
         ffmpeg = None if force_cv2 else find_ffmpeg()
         if ffmpeg:
             w, h = size
@@ -166,11 +168,12 @@ class VideoWriter:
                 "-crf", str(crf), "-preset", preset,
                 "-loglevel", "error", path,
             ]
+            self._stderr_file = tempfile.TemporaryFile()
             self._proc = subprocess.Popen(
                 cmd,
                 stdin=subprocess.PIPE,
                 stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
+                stderr=self._stderr_file,
             )
         else:
             self._cv2_writer = cv2.VideoWriter(
@@ -179,14 +182,32 @@ class VideoWriter:
             if not self._cv2_writer.isOpened():
                 raise IOError(f"cannot open video writer: {path}")
 
+    def _encoder_error(self) -> IOError:
+        detail = ""
+        if self._stderr_file is not None:
+            try:
+                self._stderr_file.seek(0)
+                detail = self._stderr_file.read().decode(
+                    "utf-8", "replace").strip()
+            except Exception:
+                pass
+        rc = self._proc.poll() if self._proc is not None else None
+        return IOError(
+            f"ffmpeg encoder died (returncode={rc}) after "
+            f"{self._frames_written} frames writing {self.path}"
+            + (f": {detail}" if detail else "")
+        )
+
     def write(self, frame: np.ndarray) -> None:
         if frame.dtype != np.uint8:
             frame = np.clip(frame, 0, 255).astype(np.uint8)
         if self._proc is not None:
+            # Encoder death must surface immediately — silently counting
+            # frames would report success with a truncated file.
             try:
                 self._proc.stdin.write(frame.tobytes())
-            except BrokenPipeError:
-                pass
+            except (BrokenPipeError, OSError):
+                raise self._encoder_error() from None
         else:
             self._cv2_writer.write(frame)
         self._frames_written += 1
@@ -197,16 +218,27 @@ class VideoWriter:
 
     def release(self) -> None:
         if self._proc is not None:
+            broken = False
             try:
                 self._proc.stdin.close()
-            except BrokenPipeError:
-                pass
+            except (BrokenPipeError, OSError):
+                broken = True
             try:
-                self._proc.wait(timeout=600)
+                rc = self._proc.wait(timeout=600)
             except subprocess.TimeoutExpired:
                 self._proc.terminate()
-                self._proc.wait(timeout=5)
+                rc = self._proc.wait(timeout=5)
+            if rc != 0 or broken:
+                err = self._encoder_error()
+                self._proc = None
+                if self._stderr_file is not None:
+                    self._stderr_file.close()
+                    self._stderr_file = None
+                raise err
             self._proc = None
+        if self._stderr_file is not None:
+            self._stderr_file.close()
+            self._stderr_file = None
         if self._cv2_writer is not None:
             self._cv2_writer.release()
             self._cv2_writer = None

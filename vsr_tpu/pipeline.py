@@ -23,6 +23,7 @@ import cv2
 import numpy as np
 
 from vsr_tpu.config import Config, InpaintMode
+from vsr_tpu.i18n import tr
 from vsr_tpu.io.audio import merge_audio_to_video
 from vsr_tpu.io.video import FramePrefetcher, VideoReader, VideoWriter, read_video_info
 from vsr_tpu.masks.intervals import (
@@ -180,6 +181,7 @@ class SubtitleRemover:
     # ---- modes ----
     def _sttn_auto_mode(self, writer) -> None:
         """Fixed-area temporal inpaint, no detection (ref main.py:247-258)."""
+        self.append_output(tr.text("Main", "ProcessingStartRemovingSubtitles"))
         coords = [(xmin, xmax, ymin, ymax) for ymin, ymax, xmin, xmax in self.sub_areas]
         mask = create_mask(
             self.mask_size, coords, self.config.subtitle_area_deviation_pixel
@@ -199,11 +201,29 @@ class SubtitleRemover:
         finally:
             reader.release()
 
+    def _preview(self, original: np.ndarray, mask: Optional[np.ndarray],
+                 inpainted: np.ndarray) -> None:
+        """Emit a (mask-highlighted original, inpainted) preview pair, matching
+        the reference's update_preview_with_comp payload (main.py:244,331)."""
+        if self.preview_cb is None:
+            return
+        if mask is not None:
+            original = np.clip(
+                original + mask[:, :, np.newaxis] * 0.3, 0, 255
+            ).astype(np.uint8)
+        try:
+            self.preview_cb(original, inpainted)
+        except Exception:
+            pass
+
     def _video_inpaint_mode(self, writer, model) -> None:
         """Detection-driven batch inpaint (ref main.py:260-333)."""
+        self.append_output(tr.text("Main", "ProcessingStartFindingSubtitles"))
         sub_list = self.detector.find_subtitle_frame_no(sub_remover=self)
+        self.append_output(tr.text("Main", "FinishedFindingSubtitles"))
         if not sub_list:
-            raise RuntimeError(f"no subtitles detected in {self.video_path}")
+            raise RuntimeError(
+                tr.text("Main", "NoSubtitleDetected", self.video_path))
         ranges = find_continuous_ranges_with_same_mask(sub_list)
         ranges = expand_frame_ranges(
             ranges,
@@ -215,6 +235,7 @@ class SubtitleRemover:
         )
         start_end = {s: min(e, self.frame_count) for s, e in ranges}
 
+        self.append_output(tr.text("Main", "ProcessingStartRemovingSubtitles"))
         reader = FramePrefetcher(VideoReader(self.video_path))
         try:
             index = 0
@@ -226,6 +247,7 @@ class SubtitleRemover:
                 if index not in start_end:
                     writer.write(frame)
                     self._progress(1)
+                    self._preview(frame, None, frame)
                     continue
                 end_index = start_end[index]
                 frames = [frame]
@@ -245,8 +267,9 @@ class SubtitleRemover:
                 )
                 for batch in batch_generator(frames, self.config.get_sttn_max_load_num()):
                     inpainted = model(list(batch), mask)
-                    for out_frame in inpainted:
+                    for src, out_frame in zip(batch, inpainted):
                         writer.write(out_frame)
+                        self._preview(src, mask, out_frame)
                     self._progress(len(batch))
         finally:
             reader.release()
@@ -268,9 +291,12 @@ class SubtitleRemover:
         from vsr_tpu.scenes.content import get_scene_div_frame_no
         from vsr_tpu.masks.intervals import split_range_by_scene
 
+        self.append_output(tr.text("Main", "ProcessingStartFindingSubtitles"))
         sub_list = self.detector.find_subtitle_frame_no(sub_remover=self)
+        self.append_output(tr.text("Main", "FinishedFindingSubtitles"))
         if not sub_list:
-            raise RuntimeError(f"no subtitles detected in {self.video_path}")
+            raise RuntimeError(
+                tr.text("Main", "NoSubtitleDetected", self.video_path))
         ranges = find_continuous_ranges_with_same_mask(sub_list)
         scene_points = get_scene_div_frame_no(self.video_path)
         ranges = split_range_by_scene(ranges, scene_points)
@@ -308,13 +334,18 @@ class SubtitleRemover:
                     out = self.lama_inpaint.inpaint(frames[0], mask)
                     writer.write(out)
                     self._progress(1)
+                    self._preview(frames[0], mask, out)
                     continue
                 for batch in batch_generator(frames, self.config.propainter_max_load_num):
                     if len(batch) == 1:
-                        writer.write(self.lama_inpaint.inpaint(batch[0], mask))
+                        out = self.lama_inpaint.inpaint(batch[0], mask)
+                        writer.write(out)
+                        self._preview(batch[0], mask, out)
                     else:
-                        for out_frame in self.propainter_inpaint(list(batch), mask):
+                        for src, out_frame in zip(
+                                batch, self.propainter_inpaint(list(batch), mask)):
                             writer.write(out_frame)
+                            self._preview(src, mask, out_frame)
                     self._progress(len(batch))
         finally:
             reader.release()
@@ -338,9 +369,18 @@ class SubtitleRemover:
     def run(self) -> None:
         start_time = time.time()
         if not self.sub_areas:
-            self.append_output("processing full frame (no subtitle area given)")
+            self.append_output(tr.text("Main", "FullScreenProcessingNote"))
             self.sub_areas.append((0, self.frame_height, 0, self.frame_width))
         os.makedirs(os.path.dirname(self.video_out_path) or ".", exist_ok=True)
+
+        # log_model parity (ref main.py:403,462-470)
+        self.append_output(tr.text(
+            "Main", "SubtitleRemoverModel",
+            tr.text("InpaintMode", self.config.inpaint_mode.name)))
+        if self.config.inpaint_mode != InpaintMode.STTN_AUTO or self.is_picture:
+            self.append_output(tr.text(
+                "Main", "SubtitleDetectionModel",
+                tr.text("SubtitleDetectMode", self.config.subtitle_detect_mode.name)))
 
         if self.is_picture:
             self._run_picture()
@@ -367,7 +407,15 @@ class SubtitleRemover:
                     self._propainter_mode(writer)
                 else:
                     raise ValueError(f"inpaint mode not implemented: {mode}")
-            finally:
+            except BaseException:
+                # best-effort close; don't mask the original failure with an
+                # encoder-death error from release()
+                try:
+                    writer.release()
+                except Exception:
+                    pass
+                raise
+            else:
                 writer.release()
             self.is_successful_merged = merge_audio_to_video(
                 self.video_path, tmp.name, self.video_out_path,
@@ -380,7 +428,7 @@ class SubtitleRemover:
 
         self.is_finished = True
         self.progress_total = 100
-        self.append_output(
-            f"finished: {self.video_out_path} "
-            f"({round(time.time() - start_time, 1)}s)"
-        )
+        self.append_output(tr.text("Main", "FinishedProcessing",
+                                   self.video_out_path))
+        self.append_output(tr.text("Main", "ProcessingTime",
+                                   round(time.time() - start_time, 1)))
