@@ -76,10 +76,27 @@ class TestDBPostprocess:
         assert db_postprocess(np.zeros((64, 64), np.float32), (64, 64)) == []
 
 
+# tiny PPHGNetV2 stage config for fast server-preset tests
+# (in, mid, out, blocks, downsample, light, kernel, layer_num)
+TINY_HG_STAGES = (
+    (16, 8, 16, 1, False, False, 3, 2),
+    (16, 8, 32, 1, True, False, 3, 2),
+    (32, 8, 48, 1, True, True, 3, 2),
+    (48, 8, 64, 1, True, True, 3, 2),
+)
+
+
+def tiny_dbnet(preset: str) -> DBNet:
+    if preset == "server":
+        return DBNet(preset="server", hg_stages=TINY_HG_STAGES,
+                     fpn_channels=32)
+    return DBNet(preset="mobile", lcnet_scale=0.25, fpn_channels=32)
+
+
 class TestDBNetModel:
     @pytest.mark.parametrize("preset", ["server", "mobile"])
     def test_forward_shapes(self, preset):
-        model = DBNet(preset=preset, fpn_channels=32)
+        model = tiny_dbnet(preset)
         x = jnp.zeros((1, 64, 96, 3))
         params = model.init(jax.random.PRNGKey(0), x)
         prob = model.apply(params, x)
@@ -87,13 +104,13 @@ class TestDBNetModel:
         assert 0.0 <= float(prob.min()) and float(prob.max()) <= 1.0
 
     def test_train_mode_outputs(self):
-        model = DBNet(preset="mobile", fpn_channels=32)
+        model = tiny_dbnet("mobile")
         x = jnp.zeros((1, 64, 96, 3))
         params = model.init(jax.random.PRNGKey(0), x, train=True)
-        outs, _ = model.apply(params, x, train=True,
-                              mutable=["batch_stats"])
-        prob, thresh, binary = outs
-        assert prob.shape == thresh.shape == binary.shape == (1, 64, 96, 1)
+        outs = model.apply(params, x, train=True)
+        maps, base, cbn, thresh, binary = outs
+        for o in (maps, base, cbn, thresh, binary):
+            assert o.shape == (1, 64, 96, 1)
 
 
 class TestDetectorEndToEnd:
@@ -144,6 +161,6 @@ class TestDetectorEndToEnd:
         from vsr_tpu.detect.detector import SubtitleDetector
 
         det = SubtitleDetector(tiny_video, batch_size=2)
-        det._model = DBNet(preset="mobile", fpn_channels=32)
+        det._model = tiny_dbnet("mobile")
         out = det.detect_subtitle(np.zeros((96, 128, 3), np.uint8))
         assert isinstance(out, list)

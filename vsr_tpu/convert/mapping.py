@@ -95,6 +95,9 @@ def convert_state_dict(
                 stats[f"{flax_path}/mean"] = jnp.asarray(arr)
             elif leaf == "running_var":
                 stats[f"{flax_path}/var"] = jnp.asarray(arr)
+        elif kind == "affine":
+            # bare scale/bias parameter pair (paddle LearnableAffineBlock)
+            params[f"{flax_path}/{leaf}"] = jnp.asarray(arr)
         elif kind == "deform_kernel":
             # ModulatedDeformConv2d's own weight (O, I, kh, kw) -> bare
             # "kernel" param [kh, kw, I, O]

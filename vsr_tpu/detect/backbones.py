@@ -23,7 +23,9 @@ Notes on inference-time semantics:
     ized) form — training checkpoints store the branches; the converter also
     accepts fused ``reparam_conv`` exports by loading them as a single branch
     with zeroed others (numerically identical).
-  * Hard-sigmoid in the LCNet SE layer uses Paddle's slope=0.2/offset=0.5.
+  * Hard-sigmoid in the LCNet SE layer is paddle nn.Hardsigmoid
+    (clip(x/6 + 0.5, 0, 1)); the det_mobilenet_v3 SEModule used by RSEFPN
+    uses slope 0.2 instead (see detect/necks.py).
   * All BatchNorms run in inference mode with converted running stats.
 """
 
@@ -87,7 +89,12 @@ class LearnableAffineBlock(nn.Module):
 
 
 class SELayer(nn.Module):
-    """LCNet squeeze-excite: pool -> conv/relu -> conv/hardsigmoid -> scale."""
+    """LCNet squeeze-excite: pool -> conv/relu -> conv/hardsigmoid -> scale.
+
+    rec_lcnetv3.SELayer gates through paddle nn.Hardsigmoid, i.e. the
+    MobileNetV3 relu6(x+3)/6 == clip(x/6 + 0.5, 0, 1) (slope 1/6 — unlike
+    det_mobilenet_v3's SEModule which uses slope 0.2, see necks.SEModule).
+    """
 
     channels: int
     reduction: int = 4
@@ -102,7 +109,7 @@ class SELayer(nn.Module):
         att = nn.relu(att)
         att = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
                       param_dtype=jnp.float32, name="conv2")(att)
-        return x * _hard_sigmoid(att)
+        return x * _hard_sigmoid(att, slope=1.0 / 6.0)
 
 
 class LearnableRepLayer(nn.Module):
@@ -262,10 +269,6 @@ def _valid_tail(x):
     return x
 
 
-class _StemConvBN(nn.Module):
-    pass  # placeholder removed; kept for forward-compat of param trees
-
-
 class HGV2Block(nn.Module):
     features_mid: int
     features_out: int
@@ -328,16 +331,26 @@ class HGV2Stage(nn.Module):
 
 
 class PPHGNetV2B4(nn.Module):
-    """PP-HGNetV2-B4 det backbone (PP-OCRv5_server_det)."""
+    """PP-HGNetV2-B4 det backbone (PP-OCRv5_server_det).
+
+    ``stages_override`` substitutes tiny stage configs in unit tests; the
+    default is the exact B4 det program (stem 3->32->48, stages above).
+    """
 
     dtype: jnp.dtype = jnp.float32
+    stem_mid: int = 32
+    stem_out: int = 48
+    stages_override: Optional[Tuple[Tuple, ...]] = None
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
-        x = HGV2Stem(32, 48, dtype=self.dtype, name="stem")(x)
+        x = HGV2Stem(self.stem_mid, self.stem_out, dtype=self.dtype,
+                     name="stem")(x)
+        stages = self.stages_override or tuple(
+            _HGNETV2_B4_STAGES[k]
+            for k in ("stage1", "stage2", "stage3", "stage4"))
         outs = []
-        for i, key in enumerate(("stage1", "stage2", "stage3", "stage4")):
-            x = HGV2Stage(_HGNETV2_B4_STAGES[key], dtype=self.dtype,
-                          name=f"stages_{i}")(x)
+        for i, cfg in enumerate(stages):
+            x = HGV2Stage(cfg, dtype=self.dtype, name=f"stages_{i}")(x)
             outs.append(x)
         return outs
