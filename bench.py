@@ -32,7 +32,10 @@ def main() -> None:
     from vsr_tpu.masks.mask import create_mask
 
     W, H = 1920, 1080
-    n_frames = int(os.environ.get("VSR_BENCH_FRAMES", "100"))
+    # 5 chunks: enough for the 2-deep chunk pipeline to reach steady state
+    # (the production regime — real videos run thousands of frames); 100
+    # frames under-measured it by ~30% on pure ramp-up.
+    n_frames = int(os.environ.get("VSR_BENCH_FRAMES", "250"))
     cfg = Config()
     cfg.compute_dtype = os.environ.get("VSR_BENCH_DTYPE", "bfloat16")
 

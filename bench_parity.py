@@ -104,6 +104,26 @@ def compare_to_reference(out_path: str, ref_path: str):
             "ssim_vs_reference": float(np.mean(ss))}
 
 
+class StubDetector:
+    """Deterministic detector for weightless runs (--stub-detector).
+
+    Random-weight DBNet finds no text, which would abort the detection-driven
+    configs; this stands in with a fixed band box over most frames so configs
+    3/4 (and picture mode) execute their full pipelines end to end — the same
+    strategy as tests/test_pipeline_modes.StubDetector.
+    """
+
+    def __init__(self, box, total_frames):
+        self.box = box  # (xmin, xmax, ymin, ymax)
+        self.frames = range(3, max(4, total_frames - 2))
+
+    def find_subtitle_frame_no(self, sub_remover=None):
+        return {f: [self.box] for f in self.frames}
+
+    def detect_subtitle(self, img):
+        return [self.box]
+
+
 def run_config(name, fn, results, ref_out=None):
     print(f"=== {name} ===", flush=True)
     t0 = time.time()
@@ -138,8 +158,14 @@ def main() -> int:
     ap.add_argument("--out", default="parity_results.json")
     ap.add_argument("--skip", default="",
                     help="comma-separated config numbers to skip")
+    ap.add_argument("--stub-detector", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="replace the (random-weight) DBNet with a fixed-band "
+                         "detector; 'auto' enables it when --models is unset")
     args = ap.parse_args()
     skip = {int(s) for s in args.skip.split(",") if s}
+    stub_detector = (args.stub_detector == "on"
+                     or (args.stub_detector == "auto" and not args.models))
 
     from vsr_tpu.config import Config, InpaintMode
     from vsr_tpu.pipeline import SubtitleRemover
@@ -166,14 +192,27 @@ def main() -> int:
         c.inpaint_mode = mode
         return c
 
+    band_box = (band[2], band[3], band[0], band[1])  # (xmin,xmax,ymin,ymax)
+
+    def maybe_stub(remover, n_total):
+        if stub_detector:
+            remover._detector = StubDetector(band_box, n_total)
+        return remover
+
     # 1. LAMA single-image watermark removal
     def config1():
         out = os.path.join(workdir, "c1.png")
         r = SubtitleRemover(args.image, output_path=out,
                             config=cfg(InpaintMode.LAMA),
                             checkpoint_dir=args.models)
+        img = cv2.imread(args.image)
+        if stub_detector and img is not None:
+            h, w = img.shape[:2]
+            r._detector = StubDetector(
+                (int(w * 0.1), int(w * 0.9), int(h * 0.8), int(h * 0.95)), 1)
         r.run()
-        return {"output": out, "frames": 1}
+        return {"output": out, "frames": 1,
+                "detector": "stub" if stub_detector else "dbnet"}
 
     # 2. STTN with user-supplied coords (no OCR)
     def config2():
@@ -185,15 +224,16 @@ def main() -> int:
         n, p = video_stats(video, out)
         return {"output": out, "frames": n, "psnr_vs_source": p}
 
-    # 3. sttn-auto with DBNet detection (sttn-det mode drives detection)
+    # 3. sttn-det: detection-driven masked STTN
     def config3():
         out = os.path.join(workdir, "c3.mp4")
         r = SubtitleRemover(video, output_path=out,
                             config=cfg(InpaintMode.STTN_DET),
                             checkpoint_dir=args.models)
-        r.run()
+        maybe_stub(r, n_frames).run()
         n, p = video_stats(video, out)
-        return {"output": out, "frames": n, "psnr_vs_source": p}
+        return {"output": out, "frames": n, "psnr_vs_source": p,
+                "detector": "stub" if stub_detector else "dbnet"}
 
     # 4. ProPainter mode
     def config4():
@@ -201,9 +241,10 @@ def main() -> int:
         r = SubtitleRemover(video, output_path=out,
                             config=cfg(InpaintMode.PROPAINTER),
                             checkpoint_dir=args.models)
-        r.run()
+        maybe_stub(r, n_frames).run()
         n, p = video_stats(video, out)
-        return {"output": out, "frames": n, "psnr_vs_source": p}
+        return {"output": out, "frames": n, "psnr_vs_source": p,
+                "detector": "stub" if stub_detector else "dbnet"}
 
     # 5. Batch pipeline with scene segmentation + multi-area coords
     def config5():
@@ -222,12 +263,25 @@ def main() -> int:
         return {"frames": n_frames * 2, "scene_cuts": cuts,
                 "tasks_completed": n_ok, "output": outs[0]}
 
-    configs = [config1, config2, config3, config4, config5]
-    exts = [".png", ".mp4", ".mp4", ".mp4", ".mp4"]
-    for i, (fn, ext) in enumerate(zip(configs, exts), start=1):
+    # 6. LaMa over a video band (per-mode fps line; not a reference config)
+    def config6():
+        out = os.path.join(workdir, "c6.mp4")
+        r = SubtitleRemover(video, output_path=out,
+                            config=cfg(InpaintMode.LAMA),
+                            checkpoint_dir=args.models)
+        maybe_stub(r, n_frames).run()
+        n, p = video_stats(video, out)
+        return {"output": out, "frames": n, "psnr_vs_source": p,
+                "detector": "stub" if stub_detector else "dbnet"}
+
+    configs = [config1, config2, config3, config4, config5, config6]
+    names = ["config1", "config2", "config3", "config4", "config5",
+             "lama_video"]
+    exts = [".png", ".mp4", ".mp4", ".mp4", ".mp4", ".mp4"]
+    for i, (fn, name, ext) in enumerate(zip(configs, names, exts), start=1):
         if i in skip:
             continue
-        run_config(f"config{i}", fn, results, ref_path(i, ext))
+        run_config(name, fn, results, ref_path(i, ext))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

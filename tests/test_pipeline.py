@@ -47,7 +47,7 @@ def patch_tiny_sttn(monkeypatch):
 
     orig = mod.STTNGenerator
 
-    def tiny(*, variant, dtype):
+    def tiny(*, variant, dtype, **kw):
         return orig(variant=variant, dtype=dtype, channel=16, stack_num=2)
 
     monkeypatch.setattr(mod, "STTNGenerator", tiny)

@@ -92,9 +92,11 @@ class Config:
     # ---- TPU-native knobs (no reference analog) ----
     # Windows evaluated per device step in the batched STTN sweep; bounds
     # activation memory AND sets the compute/DMA pipelining granularity.
-    # 0 = all windows in a chunk at once. Measured on v5e: 2 beats 5 and 10
-    # (smaller working sets overlap better across lax.map iterations).
-    window_batch: int = 2
+    # 0 = all windows in a chunk at once. Measured on v5e with 2-deep chunk
+    # pipelining (round 2): 1 beats 2/5/10 — the smallest working set keeps
+    # the flash-attention VMEM blocks resident and overlaps best with the
+    # next chunk's H2D.
+    window_batch: int = 1
     # Compute dtype for the model forward ("bfloat16" on TPU, "float32" for
     # bit-accurate CPU tests).
     compute_dtype: str = "bfloat16"

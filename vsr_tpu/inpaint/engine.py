@@ -165,6 +165,11 @@ class STTNWindowEngine:
             self.num_windows_sharded = self.num_windows
             self.window_batch = _auto_window_batch(self.num_windows, window_batch)
         self._step = jax.jit(self._chunk_step)
+        # AOT-compiled executable, built on first dispatch through the
+        # on-disk executable cache (utils/exec_cache.py): the axon service
+        # recompiles this 150-400 s program in every fresh process, so the
+        # serialized executable is the only way to a fast cold start.
+        self._compiled = None
 
     # ---- device program ----
     def _chunk_step(self, params, frames_u8, idx, valid, fwin, fslot, fcount,
@@ -273,7 +278,11 @@ class STTNWindowEngine:
                 mpad = np.repeat(padded_masks[-1:], self.clip_len - t_valid, axis=0)
                 padded_masks = np.concatenate([padded_masks, mpad], axis=0)
             args.append(jnp.asarray(padded_masks))
-        out = self._step(*args)  # async dispatch — does not block
+        if self._compiled is None:
+            from vsr_tpu.utils.exec_cache import compile_cached
+
+            self._compiled = compile_cached(self._step, *args)
+        out = self._compiled(*args)  # async dispatch — does not block
         return (out, t_valid)
 
     def fetch(self, handle) -> np.ndarray:

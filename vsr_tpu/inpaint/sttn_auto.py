@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from vsr_tpu import native
 from vsr_tpu.config import Config
 from vsr_tpu.inpaint.engine import STTNWindowEngine
+from vsr_tpu.inpaint.paste import band_out_rows, paste_band
 from vsr_tpu.inpaint.weights import load_or_init_params
 from vsr_tpu.masks.intervals import is_frame_number_in_ab_sections
 from vsr_tpu.masks.mask import binarize_mask
@@ -47,7 +48,8 @@ class STTNAutoInpainter:
         self.config = config or Config()
         self.model_input_width, self.model_input_height = input_size
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        self.model = STTNGenerator(variant="auto", dtype=dtype)
+        self.model = STTNGenerator(variant="auto", dtype=dtype,
+                                   use_pallas=self.config.use_pallas)
         from vsr_tpu.convert.torch_sttn import load_sttn_checkpoint
 
         self.params = load_or_init_params(
@@ -90,21 +92,7 @@ class STTNAutoInpainter:
         return self._engines[key]
 
     def _band_out_rows(self, mask01: np.ndarray, band) -> tuple:
-        """Static model-scale row slice covering the mask within this band.
-
-        Only these rows of the composited band cross device->host; the slice
-        includes a 2-row margin so every blended pixel's bilinear support is
-        inside it (paste-back is exact within the mask)."""
-        ymin, ymax, _, _ = band
-        band_h = ymax - ymin
-        rows = np.nonzero(mask01[ymin:ymax, :, 0].any(axis=1))[0]
-        if len(rows) == 0:
-            return (0, self.model_input_height)
-        scale = self.model_input_height / band_h
-        y0, y1 = int(rows[0]), int(rows[-1]) + 1
-        r0 = int(np.floor((y0 + 0.5) * scale - 0.5)) - 2
-        r1 = int(np.ceil((y1 - 0.5) * scale - 0.5)) + 3
-        return (max(0, r0), min(self.model_input_height, r1))
+        return band_out_rows(mask01, band, self.model_input_height)
 
     # ---- band helpers ----
     def _split_h(self, width: int) -> int:
@@ -130,33 +118,17 @@ class STTNAutoInpainter:
         split_h: int,
         out_rows=None,
     ) -> None:
-        """Blend the inpainted band back: mask*comp + (1-mask)*frame (ref :91).
-
-        ``comp`` may be just the out_rows slice of the model-height band; it
-        is placed back into a full-height buffer (zeros elsewhere — those
-        pixels are outside the mask and its interpolation margin, so they are
-        never blended in). Uses the fused native resize+blend with a cv2
-        fallback."""
-        ymin, ymax, _, _ = band
-        band_h = ymax - ymin
-        if out_rows is not None and comp.shape[0] != self.model_input_height:
-            full = np.zeros(
-                (self.model_input_height, comp.shape[1], 3), np.uint8)
-            full[out_rows[0] : out_rows[1]] = comp
-            comp = full
-        mask_region = np.ascontiguousarray(mask01[ymin:ymax, :, 0])
-        if native.paste_band_blend(frame, comp, mask_region, ymin, band_h):
-            return
-        comp = cv2.resize(comp, (width, band_h)).astype(np.uint8)
-        region = mask01[ymin:ymax, :]
-        frame[ymin:ymax, :, :] = (
-            region * comp + (1 - region) * frame[ymin:ymax, :, :]
-        )
+        paste_band(frame, comp, band, mask01, width,
+                   self.model_input_height, out_rows)
 
     # ---- list-in/list-out contract (ref STTNInpaint.__call__ :43-97) ----
     def __call__(
         self, input_frames: List[np.ndarray], input_mask: np.ndarray
     ) -> List[np.ndarray]:
+        """Streamed per band: chunk i's host prep and chunk i-2's paste-back
+        run while the device crunches chunks i-1/i (async dispatch, two in
+        flight) — host work hides behind device time exactly like
+        process_video's 3-stage overlap."""
         mask01 = binarize_mask(input_mask)
         H, W = mask01.shape[:2]
         split_h = self._split_h(W)
@@ -164,31 +136,31 @@ class STTNAutoInpainter:
         if not bands:
             return [f.copy() for f in input_frames]
         out = [f.copy() for f in input_frames]
+        t = len(input_frames)
         for band in bands:
             out_rows = self._band_out_rows(mask01, band)
-            scaled = np.stack([self._crop_and_resize(f, band) for f in input_frames])
-            comps = self._inpaint_scaled(scaled, out_rows)
-            for j in range(len(out)):
-                self._paste_band(out[j], comps[j], band, mask01, W, split_h,
-                                 out_rows)
+            clip = min(self.clip_gap,
+                       max(t, self.config.sttn_reference_length))
+            engine = self._engine(clip, out_rows)
+
+            def drain(item):
+                start, handle = item
+                for j, comp in enumerate(engine.fetch(handle)):
+                    self._paste_band(out[start + j], comp, band, mask01, W,
+                                     split_h, out_rows)
+
+            pending = []
+            for s in range(0, t, clip):
+                scaled = np.stack([
+                    self._crop_and_resize(f, band)
+                    for f in input_frames[s : s + clip]
+                ])
+                pending.append((s, engine.dispatch(scaled)))
+                if len(pending) > 2:
+                    drain(pending.pop(0))
+            for item in pending:
+                drain(item)
         return out
-
-    def _inpaint_scaled(self, scaled: np.ndarray, out_rows=None) -> np.ndarray:
-        """Run the engine over [T, 120, 640, 3], chunking by clip_gap.
-
-        Chunks are dispatched ahead (bounded to 2 in flight) so H2D/compute/
-        D2H of consecutive chunks overlap on the device queue."""
-        t = len(scaled)
-        clip = min(self.clip_gap, max(t, self.config.sttn_reference_length))
-        engine = self._engine(clip, out_rows)
-        handles = []
-        outs = []
-        for s in range(0, t, clip):
-            handles.append(engine.dispatch(scaled[s : s + clip]))
-            if len(handles) > 2:
-                outs.append(engine.fetch(handles.pop(0)))
-        outs.extend(engine.fetch(h) for h in handles)
-        return np.concatenate(outs, axis=0)
 
     # ---- streaming video path (ref STTNAutoInpaint.__call__ :199-336) ----
     def process_video(

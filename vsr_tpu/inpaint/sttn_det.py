@@ -7,11 +7,18 @@ sees the 1/4-scale mask, predictions replace only hole pixels before the
 overlap average, and the paste-back overwrites the whole band (ref :93 — the
 composite already contains source pixels outside the hole).
 
-Deliberate divergence: the reference composites the RGB model prediction
-against BGR source crops and then channel-swaps the blend as a whole
-(sttn_det_inpaint.py:168 + :89), which writes channel-swapped source pixels
-outside the hole but inside the band. Here prediction and source are blended
-in the same (BGR) space, so non-hole pixels pass through exactly.
+Deliberate divergences (both leave hole pixels reference-identical while
+treating non-hole band pixels better):
+* the reference composites the RGB model prediction against BGR source crops
+  and then channel-swaps the blend as a whole (sttn_det_inpaint.py:168 +
+  :89), which writes channel-swapped source pixels outside the hole but
+  inside the band. Here prediction and source are blended in the same (BGR)
+  space, so non-hole pixels pass through exactly.
+* the reference overwrites the WHOLE band with the 432x240-resampled
+  composite (:93), degrading non-hole band pixels through the resize round
+  trip. Here paste-back blends ``mask*comp + (1-mask)*frame`` like the auto
+  mode, which also lets the engine return only the mask's static row slice
+  (``out_rows``) — severalfold less D2H on the ~60 MB/s tunnel link.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ import jax.numpy as jnp
 
 from vsr_tpu.config import Config
 from vsr_tpu.inpaint.engine import STTNWindowEngine
+from vsr_tpu.inpaint.paste import band_out_rows, paste_band
 from vsr_tpu.inpaint.weights import load_or_init_params
 from vsr_tpu.masks.solver import get_inpaint_area_by_mask
 from vsr_tpu.models.sttn import STTN_DET_INPUT_SIZE, STTNGenerator
@@ -44,7 +52,9 @@ class STTNDetInpainter:
         self.model_input_width, self.model_input_height = input_size
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         self.model = STTNGenerator(
-            variant="det", dtype=dtype, apply_attention_mask=apply_attention_mask
+            variant="det", dtype=dtype,
+            apply_attention_mask=apply_attention_mask,
+            use_pallas=self.config.use_pallas,
         )
         h, w = self.model_input_height, self.model_input_width
         from vsr_tpu.convert.torch_sttn import load_sttn_checkpoint
@@ -62,9 +72,10 @@ class STTNDetInpainter:
 
         return default_inference_mesh()
 
-    def _engine(self, clip_len: int) -> STTNWindowEngine:
-        if clip_len not in self._engines:
-            self._engines[clip_len] = STTNWindowEngine(
+    def _engine(self, clip_len: int, out_rows=None) -> STTNWindowEngine:
+        key = (clip_len, out_rows)
+        if key not in self._engines:
+            self._engines[key] = STTNWindowEngine(
                 self.model,
                 self.params,
                 clip_len=clip_len,
@@ -73,9 +84,10 @@ class STTNDetInpainter:
                 ref_length=self.config.sttn_reference_length,
                 window_batch=self.config.window_batch,
                 masked=True,
+                out_rows=out_rows,
                 mesh=self._mesh(),
             )
-        return self._engines[clip_len]
+        return self._engines[key]
 
     def _split_h(self, height: int, width: int) -> int:
         if height > width:
@@ -96,6 +108,7 @@ class STTNDetInpainter:
             return out
 
         size = (self.model_input_width, self.model_input_height)
+        mask01 = (mask > 0).astype(np.uint8)
         for band in bands:
             ymin, ymax = band[0], band[1]
             scaled = np.stack(
@@ -105,21 +118,21 @@ class STTNDetInpainter:
             scaled_mask = cv2.resize(mask_crop, size)
             binary = (scaled_mask > 0.5).astype(np.float32)
             masks = np.repeat(binary[None], len(input_frames), axis=0)
-            comps = self._inpaint_scaled(scaled, masks)
-            band_h = ymax - ymin  # == split_h unless clamped to the image
+            rows = band_out_rows(mask01, band, self.model_input_height)
+            comps = self._inpaint_scaled(scaled, masks, rows)
             for j in range(len(out)):
-                comp = cv2.resize(comps[j], (W, band_h)).astype(np.uint8)
-                # full band overwrite (ref :93)
-                out[j][ymin:ymax, :, :] = comp
+                paste_band(out[j], comps[j], band, mask01, W,
+                           self.model_input_height, rows)
         return out
 
-    def _inpaint_scaled(self, scaled: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    def _inpaint_scaled(self, scaled: np.ndarray, masks: np.ndarray,
+                        out_rows=None) -> np.ndarray:
         t = len(scaled)
         clip = min(
             self.config.get_sttn_max_load_num(),
             max(t, self.config.sttn_reference_length),
         )
-        engine = self._engine(clip)
+        engine = self._engine(clip, out_rows)
         outs = []
         for s in range(0, t, clip):
             outs.append(engine.process_chunk(scaled[s : s + clip], masks[s : s + clip]))

@@ -47,4 +47,19 @@ def load_or_init_params(
             f"checkpoint not found at {checkpoint_path}; "
             "using random initialization (outputs will not be meaningful)"
         )
-    return model.init(jax.random.PRNGKey(seed), *init_args)
+    # Init on the host CPU backend: eager init on the (remote) TPU dispatches
+    # hundreds of tiny compiles (~2 min of cold-start for nothing). One jitted
+    # CPU init program is seconds; params then move to the accelerator in a
+    # single transfer so downstream jits place on the accelerator, not CPU.
+    init_model = model
+    if getattr(model, "use_pallas", False):
+        init_model = model.clone(use_pallas=False)  # pallas can't lower on CPU
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is None or jax.default_backend() == "cpu":
+        return model.init(jax.random.PRNGKey(seed), *init_args)
+    with jax.default_device(cpu):
+        variables = jax.jit(init_model.init)(jax.random.PRNGKey(seed), *init_args)
+    return jax.device_put(variables, jax.devices()[0])

@@ -92,6 +92,7 @@ class _AttentionLayer(nn.Module):
     patchsizes: Sequence[Tuple[int, int]]
     channel: int = 256
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -109,7 +110,8 @@ class _AttentionLayer(nn.Module):
         k = emb("key")(flat).reshape(B, L, h, w, C)
         v = emb("value")(flat).reshape(B, L, h, w, C)
         y = multi_scale_patch_attention(
-            q, k, v, self.patchsizes, key_valid=key_valid, patch_mask=patch_mask
+            q, k, v, self.patchsizes, key_valid=key_valid,
+            patch_mask=patch_mask, use_pallas=self.use_pallas
         )
         y = y.reshape(B * L, h, w, C)
         y = _lrelu(nn.Conv(self.channel, (3, 3), padding=_PAD1,
@@ -141,11 +143,13 @@ class TransformerBlock(nn.Module):
     patchsizes: Sequence[Tuple[int, int]]
     channel: int = 256
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, key_valid=None, patch_mask=None):
         x = x + _AttentionLayer(
-            self.patchsizes, self.channel, self.dtype, name="attention"
+            self.patchsizes, self.channel, self.dtype, self.use_pallas,
+            name="attention"
         )(x, key_valid, patch_mask)
         x = x + _FeedForward(self.channel, self.dtype, name="ffn")(x)
         return x
@@ -166,6 +170,10 @@ class STTNGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     apply_attention_mask: bool = True  # det only; False = reference no-op bug
     patchsizes_override: Optional[Tuple[Tuple[int, int], ...]] = None  # tests
+    # Route eligible attention scales through the fused Pallas flash kernel
+    # (ops/pallas_token_attention.py); inference wrappers set this from
+    # config.use_pallas. Auto-falls-back to the XLA path off-TPU.
+    use_pallas: bool = False
 
     @property
     def patchsizes(self) -> Tuple[Tuple[int, int], ...]:
@@ -177,7 +185,7 @@ class STTNGenerator(nn.Module):
         self.encoder = STTNEncoder(self.channel, self.dtype)
         self.blocks = [
             TransformerBlock(self.patchsizes, self.channel, self.dtype,
-                             name=f"block{i}")
+                             self.use_pallas, name=f"block{i}")
             for i in range(self.stack_num)
         ]
         self.decoder = STTNDecoder(self.dtype)

@@ -27,12 +27,56 @@ results are identical while keeping NHWC-native strides.
 from __future__ import annotations
 
 import math
+import os
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+# Flash-kernel eligibility: scales whose token embedding D = ph*pw*dk fits
+# VMEM blocking. These are the small-patch scales — exactly the ones whose
+# [N, N] fp32 score tensors dominate the XLA path's HBM traffic (N ~ L*320
+# tokens at the (5,3) scale). Big-patch scales have tiny N and huge D; their
+# scores are negligible and they stay on the XLA path.
+PALLAS_D_MAX = 4096
+
+_pallas_ok: Optional[bool] = None
+
+
+def _pallas_available() -> bool:
+    """True when the backend runs our Pallas kernels (probed once).
+
+    The remote Mosaic service behind the axon backend rejects some lowerings
+    with opaque errors (see ops/pallas_patch_attention.py docstring), so the
+    first TPU-backend call compiles a tiny kernel and caches the verdict;
+    failure falls back to the XLA path with a warning.
+    """
+    global _pallas_ok
+    if _pallas_ok is None:
+        if os.environ.get("VSR_TPU_DISABLE_PALLAS"):
+            _pallas_ok = False
+            return _pallas_ok
+        if jax.default_backend() in ("cpu",):
+            _pallas_ok = False
+            return _pallas_ok
+        try:
+            from vsr_tpu.ops.pallas_token_attention import flash_token_attention
+
+            # commit the probe input to the accelerator: a surrounding
+            # jax.default_device(cpu) context (e.g. CPU-side param init)
+            # must not fail the probe for the device the kernels target
+            x = jax.device_put(jnp.zeros((1, 16, 128), jnp.bfloat16),
+                               jax.devices()[0])
+            jax.block_until_ready(flash_token_attention(x, x, x))
+            _pallas_ok = True
+        except Exception as e:  # opaque remote-compile errors included
+            warnings.warn(f"Pallas attention unavailable on this backend, "
+                          f"using the XLA path: {type(e).__name__}: {e}")
+            _pallas_ok = False
+    return _pallas_ok
 
 
 def _tokens_to_grid(y: jnp.ndarray, B: int, L: int, out_h: int, out_w: int,
@@ -60,6 +104,7 @@ def patch_attention_single_scale(
     patch: Tuple[int, int],
     key_valid: Optional[jnp.ndarray] = None,
     patch_masked: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Attention over one patch tiling.
 
@@ -72,6 +117,9 @@ def patch_attention_single_scale(
         resolution; a key token whose patch-mean > 0.5 is removed (detection
         variant, network_sttn.py:187-190 — applied here for real, see
         models/sttn.py for the reference no-op note).
+      use_pallas: route eligible scales (D <= PALLAS_D_MAX) through the
+        fused flash kernel (ops/pallas_token_attention.py) instead of
+        materializing [B, N, N] fp32 scores.
 
     Returns: [B, L, h, w, dk].
     """
@@ -85,22 +133,30 @@ def patch_attention_single_scale(
     vt, _ = _grid_to_tokens(v, ph, pw)
 
     D = qt.shape[-1]
+    key_bias = None
+    if key_valid is not None:
+        token_valid = jnp.repeat(key_valid, n_spatial, axis=1)  # [B, N]
+        key_bias = jnp.where(token_valid, 0.0, NEG_INF)
+    if patch_masked is not None:
+        pm, _ = _grid_to_tokens(patch_masked[..., None].astype(jnp.float32), ph, pw)
+        masked = jnp.mean(pm, axis=-1) > 0.5  # [B, N]
+        mb = jnp.where(masked, NEG_INF, 0.0)
+        key_bias = mb if key_bias is None else key_bias + mb
+
+    if use_pallas and D <= PALLAS_D_MAX and _pallas_available():
+        from vsr_tpu.ops.pallas_token_attention import flash_token_attention
+
+        qb, kb = (256, 512) if D <= 1024 else (128, 256)
+        y = flash_token_attention(qt, kt, vt, key_bias,
+                                  q_block=qb, k_block=kb)
+        return _tokens_to_grid(y, B, L, out_h, out_w, ph, pw, dk)
+
     scale = 1.0 / math.sqrt(D)
     scores = jnp.einsum(
         "bnd,bmd->bnm", qt, kt, preferred_element_type=jnp.float32
     ) * scale
-
-    bias = None
-    if key_valid is not None:
-        token_valid = jnp.repeat(key_valid, n_spatial, axis=1)  # [B, N]
-        bias = jnp.where(token_valid, 0.0, NEG_INF)[:, None, :]
-    if patch_masked is not None:
-        pm, _ = _grid_to_tokens(patch_masked[..., None].astype(jnp.float32), ph, pw)
-        masked = jnp.mean(pm, axis=-1) > 0.5  # [B, N]
-        mb = jnp.where(masked, NEG_INF, 0.0)[:, None, :]
-        bias = mb if bias is None else bias + mb
-    if bias is not None:
-        scores = scores + bias
+    if key_bias is not None:
+        scores = scores + key_bias[:, None, :]
 
     attn = jax.nn.softmax(scores, axis=-1)
     y = jnp.einsum(
@@ -117,6 +173,7 @@ def multi_scale_patch_attention(
     patchsizes: Sequence[Tuple[int, int]],
     key_valid: Optional[jnp.ndarray] = None,
     patch_mask: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Split channels into len(patchsizes) groups and attend per scale.
 
@@ -133,6 +190,7 @@ def multi_scale_patch_attention(
             patch_attention_single_scale(
                 q[..., sl], k[..., sl], v[..., sl],
                 patch, key_valid=key_valid, patch_masked=patch_mask,
+                use_pallas=use_pallas,
             )
         )
     return jnp.concatenate(outs, axis=-1)

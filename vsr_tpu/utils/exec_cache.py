@@ -1,0 +1,112 @@
+"""On-disk compiled-executable cache for expensive TPU programs.
+
+The axon backend compiles server-side and does NOT honor JAX's persistent
+compilation cache directory; measured cold compiles of the STTN chunk
+program run 150-400 s *per process* (the service's own cache only helps
+within a process). This module caches the *compiled executable* itself via
+``jax.experimental.serialize_executable``: the first process pays the
+compile, every later process deserializes in ~1 s.
+
+Key = sha256(lowered StableHLO text, jax version, platform, device kind),
+so any change to the program, library, or hardware misses cleanly. Entries
+are written atomically (tmp + rename) so concurrent processes can race
+safely. Opt out with VSR_TPU_EXEC_CACHE=off; relocate with
+VSR_TPU_EXEC_CACHE=<dir>.
+
+No reference analog (the reference's torch CUDA kernels JIT in
+milliseconds); this is TPU-infrastructure, like XLA's own persistent cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+import warnings
+from typing import Any, Callable, Optional
+
+import jax
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "vsr_tpu", "executables"
+)
+
+
+def cache_dir() -> Optional[str]:
+    val = os.environ.get("VSR_TPU_EXEC_CACHE", "")
+    if val.lower() in ("off", "0", "none", "disabled"):
+        return None
+    return val or _DEFAULT_DIR
+
+
+def _cache_key(lowered) -> str:
+    dev = jax.devices()[0]
+    h = hashlib.sha256()
+    h.update(lowered.as_text().encode())
+    h.update(jax.__version__.encode())
+    h.update(dev.platform.encode())
+    h.update(getattr(dev, "device_kind", "").encode())
+    h.update(str(len(jax.devices())).encode())  # sharded programs pin topology
+    return h.hexdigest()[:32]
+
+
+def _on_cpu(example_args) -> bool:
+    """True when any committed arg lives on a CPU device: jit will place the
+    program on CPU there, and a CPU executable must not be cached under the
+    accelerator's key (CPU compiles are fast anyway)."""
+    for leaf in jax.tree_util.tree_leaves(example_args):
+        devs = getattr(leaf, "devices", None)
+        if callable(devs):
+            try:
+                if any(d.platform == "cpu" for d in leaf.devices()):
+                    return True
+            except Exception:
+                continue
+    return False
+
+
+def compile_cached(jitted: Callable, *example_args: Any):
+    """Lower + compile ``jitted`` for ``example_args``, with a disk cache.
+
+    Returns a callable compiled executable (same call signature as the
+    jitted function for these argument shapes). Falls back to a plain
+    ``lowered.compile()`` whenever caching is unavailable or fails —
+    correctness never depends on the cache.
+    """
+    lowered = jitted.lower(*example_args)
+    cdir = cache_dir()
+    if cdir is None or jax.default_backend() == "cpu" or _on_cpu(example_args):
+        return lowered.compile()
+
+    try:
+        from jax.experimental import serialize_executable as se
+    except ImportError:
+        return lowered.compile()
+
+    key = _cache_key(lowered)
+    path = os.path.join(cdir, f"{key}.jaxexec")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            return se.deserialize_and_load(payload, in_tree, out_tree)
+        except Exception as e:  # stale/corrupt entry: recompile below
+            warnings.warn(f"exec cache read failed ({type(e).__name__}: {e}); "
+                          "recompiling")
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+
+    compiled = lowered.compile()
+    try:
+        payload, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(cdir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    except Exception as e:
+        warnings.warn(f"exec cache write failed ({type(e).__name__}: {e})")
+    return compiled
