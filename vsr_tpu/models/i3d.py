@@ -18,6 +18,20 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _same_pads(shape, kernel, stride):
+    """TF-'SAME' padding, computed statically from the traced input shape.
+
+    Matches the reference Unit3D/MaxPool3dSamePadding dynamic padding
+    (metrics.py:196-218,258-279): total = k - s when the dim divides the
+    stride, else k - dim%s; front gets total//2 (back gets the extra pixel,
+    unlike the symmetric k//2 rule, which differs for even totals)."""
+    pads = []
+    for dim, k, s in zip(shape, kernel, stride):
+        total = max(k - s, 0) if dim % s == 0 else max(k - dim % s, 0)
+        pads.append((total // 2, total - total // 2))
+    return tuple(pads)
+
+
 class Unit3D(nn.Module):
     features: int
     kernel: Tuple[int, int, int] = (1, 1, 1)
@@ -28,7 +42,7 @@ class Unit3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pads = tuple((k // 2, k // 2) for k in self.kernel)
+        pads = _same_pads(x.shape[1:4], self.kernel, self.stride)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pads, use_bias=not self.use_bn,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
@@ -42,8 +56,12 @@ class Unit3D(nn.Module):
 
 
 def _max_pool_3d(x, kernel, stride):
-    pads = tuple((k // 2, k // 2) for k in kernel)  # spatial dims only
-    return nn.max_pool(x, kernel, strides=stride, padding=pads)
+    pads = _same_pads(x.shape[1:4], kernel, stride)
+    # torch F.pad fills with 0 (not -inf) before MaxPool3d, so padded cells
+    # can win the max when all inputs are negative — reproduce exactly by
+    # padding explicitly first (ref MaxPool3dSamePadding, metrics.py:202-218)
+    x = jnp.pad(x, ((0, 0), *pads, (0, 0)))
+    return nn.max_pool(x, kernel, strides=stride, padding="VALID")
 
 
 class InceptionBlock(nn.Module):
