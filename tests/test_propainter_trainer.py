@@ -73,3 +73,57 @@ class TestPropainterGanStep:
         new = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
         assert np.abs(old - new).max() > 0
         assert int(state.step) == 1
+
+
+class TestPerceptualTerm:
+    def test_lpips_weighted_step(self):
+        """perceptual_weight > 0 + lpips params: perc_loss contributes and
+        gradients stay finite (ref trainer.py:413-417)."""
+        import flax.linen as fnn
+
+        from vsr_tpu.models.lpips import LPIPS
+
+        gen = ProPainterGenerator(channel=16, hidden=32, depths=1, n_head=2,
+                                  window_size=(3, 4), pool_size=(2, 2))
+        dis = VideoDiscriminator(nf=8)
+        l_t = 2
+        lpips_params = LPIPS().init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 48, 64, 3)),
+            jnp.zeros((1, 48, 64, 3)))
+
+        rng = np.random.default_rng(1)
+        frames = jnp.asarray(
+            rng.uniform(-1, 1, (1, 3, 48, 64, 3)).astype(np.float32))
+        masks = jnp.zeros((1, 3, 48, 64, 1)).at[:, :, 16:32, 16:48].set(1.0)
+        flows = jnp.zeros((1, l_t - 1, 48, 64, 2))
+
+        cfg = PropainterTrainConfig(perceptual_weight=0.1)
+        state = init_propainter_train_state(
+            gen, dis, cfg, shape=(1, 3, 48, 64), num_local_frames=l_t)
+        step = make_propainter_train_step(gen, dis, cfg, l_t,
+                                          lpips_params=lpips_params)
+        state, metrics = step(state, frames, flows, flows, masks)
+        assert np.isfinite(float(metrics["perc_loss"]))
+        assert float(metrics["perc_loss"]) != 0.0
+
+        # weight 0 keeps the term exactly out
+        cfg0 = PropainterTrainConfig()
+        state0 = init_propainter_train_state(
+            gen, dis, cfg0, shape=(1, 3, 48, 64), num_local_frames=l_t)
+        step0 = make_propainter_train_step(gen, dis, cfg0, l_t)
+        _, m0 = step0(state0, frames, flows, flows, masks)
+        assert float(m0["perc_loss"]) == 0.0
+
+
+def test_scalar_writer(tmp_path):
+    import json
+
+    from vsr_tpu.train.scalars import ScalarWriter
+
+    with ScalarWriter(str(tmp_path), interval=100) as w:
+        w.add("loss/gen", 1.5, step=100)
+        w.add("loss/gen", 9.9, step=101)  # off-interval: dropped
+        w.add_dict({"dis": 0.25}, step=200)
+    lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    assert [(l["step"], l["tag"], l["value"]) for l in lines] == [
+        (100, "loss/gen", 1.5), (200, "loss/dis", 0.25)]

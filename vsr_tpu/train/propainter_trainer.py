@@ -165,6 +165,9 @@ class PropainterTrainConfig:
     hole_weight: float = 1.0
     valid_weight: float = 1.0
     adversarial_weight: float = 0.01
+    # LPIPS perceptual term (ref trainer.py:67-68,413-417; weight 0 in the
+    # published configs' default — enabled when lpips weights are supplied)
+    perceptual_weight: float = 0.0
     gan_loss: str = "hinge"
     save_dir: str = "propainter_ckpt"
 
@@ -184,9 +187,14 @@ def make_propainter_train_step(
     cfg: PropainterTrainConfig,
     num_local_frames: int,
     mesh: Optional[Mesh] = None,
+    lpips_params=None,
 ):
     """GAN step over pre-computed completed flows (RAFT + flow completion are
-    frozen upstream stages, as in the reference trainer)."""
+    frozen upstream stages, as in the reference trainer).
+
+    lpips_params: converted LPIPS weights (convert/torch_lpips.py) enabling
+    the reference's perceptual term (LPIPSLoss(use_input_norm=True,
+    range_norm=True), trainer.py:67-68) when cfg.perceptual_weight > 0."""
     gen_opt = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
     dis_opt = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
 
@@ -248,16 +256,28 @@ def make_propainter_train_step(
                 * cfg.hole_weight
             valid = masked_l1(pred, frames[:, :l_t], 1 - masks[:, :l_t]) \
                 * cfg.valid_weight
-            return gan + hole + valid, (gan, hole, valid)
+            perc = jnp.zeros(())
+            if cfg.perceptual_weight > 0 and lpips_params is not None:
+                from vsr_tpu.train.perceptual import lpips_loss
 
-        (g_loss, (gan, hole, valid)), g_grads = jax.value_and_grad(
+                h, w = pred.shape[2:4]
+                perc = lpips_loss(
+                    lpips_params,
+                    pred.reshape(-1, h, w, 3),
+                    frames[:, :l_t].reshape(-1, h, w, 3),
+                    use_input_norm=True, range_norm=True,
+                ) * cfg.perceptual_weight
+            return gan + hole + valid + perc, (gan, hole, valid, perc)
+
+        (g_loss, (gan, hole, valid, perc)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params)
         g_updates, gen_opt_state = gen_opt.update(
             g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
         metrics = {"dis_loss": d_loss, "gen_loss": g_loss, "gan_loss": gan,
-                   "hole_loss": hole, "valid_loss": valid}
+                   "hole_loss": hole, "valid_loss": valid,
+                   "perc_loss": perc}
         return state.replace(
             step=state.step + 1, gen_params=gen_params, gen_opt=gen_opt_state,
             dis_params=dis_params, dis_vars=dis_vars,

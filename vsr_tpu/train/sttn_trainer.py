@@ -58,6 +58,9 @@ class TrainConfig:
     save_dir: str = "release_model"
     save_freq: int = 10_000
     log_freq: int = 100
+    # scalar summaries (ref trainer_sttn.py:96-128 tensorboardX writers);
+    # None disables. JSONL always; tensorboard(X) when importable.
+    summary_dir: Optional[str] = None
 
 
 class TrainState(struct.PyTreeNode):
@@ -291,15 +294,27 @@ class STTNTrainer:
 
     # ---- loop ----
     def train(self, data_iter, num_steps: int, log_cb=None) -> Dict[str, float]:
+        writer = None
+        if self.cfg.summary_dir:
+            from vsr_tpu.train.scalars import ScalarWriter
+
+            writer = ScalarWriter(self.cfg.summary_dir,
+                                  interval=self.cfg.log_freq)
         metrics = {}
-        for _ in range(num_steps):
-            frames, masks = next(data_iter)
-            self.state, metrics = self.step_fn(
-                self.state, jnp.asarray(frames), jnp.asarray(masks)
-            )
-            step = int(self.state.step)
-            if log_cb and step % self.cfg.log_freq == 0:
-                log_cb(step, {k: float(v) for k, v in metrics.items()})
-            if step % self.cfg.save_freq == 0:
-                self.save()
+        try:
+            for _ in range(num_steps):
+                frames, masks = next(data_iter)
+                self.state, metrics = self.step_fn(
+                    self.state, jnp.asarray(frames), jnp.asarray(masks)
+                )
+                step = int(self.state.step)
+                if writer is not None:
+                    writer.add_dict(metrics, step)
+                if log_cb and step % self.cfg.log_freq == 0:
+                    log_cb(step, {k: float(v) for k, v in metrics.items()})
+                if step % self.cfg.save_freq == 0:
+                    self.save()
+        finally:
+            if writer is not None:
+                writer.close()
         return {k: float(v) for k, v in metrics.items()}
