@@ -58,8 +58,23 @@ def load_or_init_params(
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
+    # Only bare arrays become jit arguments; ints (static slice bounds, e.g.
+    # ProPainter's num_local) and containers are closed over so they stay
+    # python values during tracing.
+    import numpy as _np
+
+    def _is_array(a):
+        return isinstance(a, (jnp.ndarray, _np.ndarray, jax.Array))
+
+    array_args = [a for a in init_args if _is_array(a)]
+
+    def _init(rng, *arrs):
+        it = iter(arrs)
+        full = [next(it) if _is_array(a) else a for a in init_args]
+        return init_model.init(rng, *full)
+
     if cpu is None or jax.default_backend() == "cpu":
-        return model.init(jax.random.PRNGKey(seed), *init_args)
+        return jax.jit(_init)(jax.random.PRNGKey(seed), *array_args)
     with jax.default_device(cpu):
-        variables = jax.jit(init_model.init)(jax.random.PRNGKey(seed), *init_args)
+        variables = jax.jit(_init)(jax.random.PRNGKey(seed), *array_args)
     return jax.device_put(variables, jax.devices()[0])
