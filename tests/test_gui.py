@@ -75,6 +75,17 @@ def test_index_and_config_roundtrip(server, tmp_path):
     assert saved.inpaint_mode == InpaintMode.LAMA
 
 
+def test_i18n_endpoint(server):
+    base = server.address
+    labels = _req(base, "/api/i18n")
+    assert labels["Tasks"] == "Tasks"
+    meta = _req(base, "/api/config")["meta"]
+    assert "ch" in meta["interface"]["choices"]
+    _req(base, "/api/config", {"interface": "ch"})
+    labels = _req(base, "/api/i18n")
+    assert labels["Tasks"] == "任务"
+
+
 def test_task_crud_and_options(server, video):
     base = server.address
     added = _req(base, "/api/tasks", {"paths": [video, video]})

@@ -88,7 +88,9 @@ class SubtitleDetector:
             self._params = load_or_init_params(
                 self.model, (jnp.asarray(sample[None]),), self.checkpoint_path
             )
-            self._forward = jax.jit(
+            from vsr_tpu.utils.exec_cache import cached_jit
+
+            self._forward = cached_jit(
                 lambda params, x: self.model.apply(params, x)
             )
 

@@ -39,7 +39,17 @@ CONFIG_META: Dict[str, Dict[str, Any]] = {
     "sttn_max_load_num": {"min": 1, "max": 300},
     "propainter_max_load_num": {"min": 1, "max": 300},
     "hardware_acceleration": {"bool": True},
+    "interface": {"choices": None},  # filled lazily from available_locales()
 }
+
+
+def _config_meta() -> Dict[str, Dict[str, Any]]:
+    meta = dict(CONFIG_META)
+    if meta["interface"]["choices"] is None:
+        from vsr_tpu.i18n import available_locales
+
+        meta["interface"] = {"choices": available_locales()}
+    return meta
 
 
 def _config_dict(cfg: Config) -> Dict[str, Any]:
@@ -155,7 +165,12 @@ class GuiServer:
                         self._json(server.manager.state())
                     elif path == "/api/config":
                         self._json({"config": _config_dict(server.manager.config),
-                                    "meta": CONFIG_META})
+                                    "meta": _config_meta()})
+                    elif path == "/api/i18n":
+                        from vsr_tpu.i18n import Translator
+
+                        self._json(Translator(
+                            server.manager.config.interface)["GUI"])
                     elif path == "/api/video_info":
                         self._json(server.frames.info(q["path"]))
                     elif path == "/api/frame":

@@ -43,6 +43,24 @@ _EN: Dict[str, Dict[str, str]] = {
         "PP_OCRv5_MOBILE": "fast (mobile)",
         "PP_OCRv5_SERVER": "precise (server)",
     },
+    # browser GUI labels (served via /api/i18n; ref keys every GUI string
+    # through tr the same way, backend/config.py:123-126)
+    "GUI": {
+        "Tasks": "Tasks",
+        "Add": "Add",
+        "Run": "Run",
+        "Stop": "Stop",
+        "Settings": "Settings",
+        "SaveAreas": "Save subtitle areas",
+        "ClearAreas": "Clear areas",
+        "ClearAB": "A/B ✕",
+        "Hint": "drag on frame: new area · drag inside: move · "
+                "corner: resize · double-click: delete · "
+                "areas save per task",
+        "PathPlaceholder": "/path/to/video.mp4",
+        "Frame": "frame",
+        "LivePreview": "live preview",
+    },
 }
 
 

@@ -58,7 +58,9 @@ class LamaInpainter:
             (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1))),
             checkpoint_path,
         )
-        self._forward = jax.jit(
+        from vsr_tpu.utils.exec_cache import cached_jit
+
+        self._forward = cached_jit(
             lambda params, img, mask: self.model.apply(params, img, mask)
         )
 

@@ -143,17 +143,19 @@ class PropainterInpainter:
             ckpt("propainter.npz"),
             torch_converter=torch_loader(convert_propainter_generator))
 
-        self._raft_pair_fn = jax.jit(
+        from vsr_tpu.utils.exec_cache import cached_jit
+
+        self._raft_pair_fn = cached_jit(
             lambda p, a, b: self.raft.apply(p, a, b))
-        self._flow_complete_fn = jax.jit(self._flow_complete)
-        self._img_prop_fn = jax.jit(image_propagation)
+        self._flow_complete_fn = cached_jit(self._flow_complete)
+        self._img_prop_fn = cached_jit(image_propagation)
         # static window scheduling: pad every window to one shape per clip
         # length (VSR_PP_DYNAMIC_WINDOWS=1 restores the ragged reference
         # scheduling for A/B comparison)
         import os
 
         self.static_windows = os.environ.get("VSR_PP_DYNAMIC_WINDOWS") != "1"
-        self._gen_fn = jax.jit(
+        self._gen_fn = cached_jit(
             lambda p, fr, fl, m, mu, lt, fv: self.generator.apply(
                 p, fr, fl, m, mu, lt, frame_valid=fv),
             static_argnums=(5,))

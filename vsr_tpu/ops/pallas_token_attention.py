@@ -1,9 +1,13 @@
 """Pallas TPU kernel: flash attention over pre-tokenized patch tokens.
 
-Round-1's fused kernel (ops/pallas_patch_attention.py) did the grid->token
-relayout *inside* the kernel; this environment's remote Mosaic compiler 500s
-on exactly that construct (see its docstring for the bisect). This kernel
-takes the VERDICT-suggested restructuring: XLA performs the (cheap, fusable)
+Round-1's fused kernel did the grid->token relayout *inside* the kernel;
+this environment's remote Mosaic compiler 500s on exactly that construct
+(bisect, for the record: 5D block specs, 3D grid, scratch accumulation, and
+plain [32, 960] dots each compile fine in isolation;
+``reshape(ph, n_tok, pw, dk).transpose(1, 0, 2, 3)`` feeding a dot does
+not, even when materialized through VMEM scratch; multi-contracting-dim
+dot_general fails 'tpu.matmul' verification). This kernel takes the
+restructuring that dodges all of it: XLA performs the (cheap, fusable)
 tokenization outside, and the kernel is a textbook flash attention over
 [B, N, D] token matrices — dots, exp, max only; no reshapes or transposes.
 

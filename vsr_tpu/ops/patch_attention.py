@@ -50,7 +50,7 @@ def _pallas_available() -> bool:
     """True when the backend runs our Pallas kernels (probed once).
 
     The remote Mosaic service behind the axon backend rejects some lowerings
-    with opaque errors (see ops/pallas_patch_attention.py docstring), so the
+    with opaque errors (see ops/pallas_token_attention.py docstring), so the
     first TPU-backend call compiles a tiny kernel and caches the verdict;
     failure falls back to the XLA path with a warning.
     """

@@ -51,6 +51,48 @@ def _cache_key(lowered) -> str:
     return h.hexdigest()[:32]
 
 
+class cached_jit:
+    """Drop-in jax.jit replacement backed by the on-disk executable cache.
+
+    Per call-signature (pytree structure + leaf shapes/dtypes) the function
+    is lowered once and compiled through ``compile_cached`` — so every
+    inference program (RAFT pairs, flow completion, propagation, generator
+    windows, DBNet, LaMa ...) cold-starts from disk in seconds instead of
+    recompiling on the axon service. Positional args only (that is all the
+    inference wrappers use); kwargs fall back to the plain jitted path.
+    """
+
+    def __init__(self, fn, **jit_kwargs):
+        static = jit_kwargs.get("static_argnums", ())
+        self._static = {static} if isinstance(static, int) else set(static)
+        self._jit = jax.jit(fn, **jit_kwargs)
+        self._compiled: dict = {}
+
+    @staticmethod
+    def _leaf_sig(leaf):
+        shape = getattr(leaf, "shape", None)
+        if shape is not None:
+            return (tuple(shape), str(getattr(leaf, "dtype", "")))
+        return ("pyleaf", type(leaf).__name__)
+
+    def _arg_sig(self, i, arg):
+        if i in self._static:
+            return ("static", repr(arg))
+        leaves, treedef = jax.tree_util.tree_flatten(arg)
+        return (str(treedef), tuple(self._leaf_sig(l) for l in leaves))
+
+    def __call__(self, *args, **kwargs):
+        if kwargs:
+            return self._jit(*args, **kwargs)
+        key = tuple(self._arg_sig(i, a) for i, a in enumerate(args))
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._compiled[key] = compile_cached(self._jit, *args)
+        # AOT-compiled callables take only the dynamic args (statics baked in)
+        dyn = [a for i, a in enumerate(args) if i not in self._static]
+        return fn(*dyn)
+
+
 def _on_cpu(example_args) -> bool:
     """True when any committed arg lives on a CPU device: jit will place the
     program on CPU there, and a CPU executable must not be cached under the
@@ -90,6 +132,7 @@ def compile_cached(jitted: Callable, *example_args: Any):
         try:
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)
+            os.utime(path)  # LRU touch
             return se.deserialize_and_load(payload, in_tree, out_tree)
         except Exception as e:  # stale/corrupt entry: recompile below
             warnings.warn(f"exec cache read failed ({type(e).__name__}: {e}); "
@@ -107,6 +150,30 @@ def compile_cached(jitted: Callable, *example_args: Any):
         with os.fdopen(fd, "wb") as fh:
             pickle.dump((payload, in_tree, out_tree), fh)
         os.replace(tmp, path)  # atomic vs concurrent writers
+        _evict_lru(cdir)
     except Exception as e:
         warnings.warn(f"exec cache write failed ({type(e).__name__}: {e})")
     return compiled
+
+
+def _evict_lru(cdir: str) -> None:
+    """Bound total cache size (VSR_TPU_EXEC_CACHE_GB, default 10): drop the
+    least-recently-used entries first. Reads touch mtime so hot programs
+    survive."""
+    try:
+        budget = float(os.environ.get("VSR_TPU_EXEC_CACHE_GB", "10")) * 1e9
+        entries = []
+        for name in os.listdir(cdir):
+            if not name.endswith(".jaxexec"):
+                continue
+            p = os.path.join(cdir, name)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+        total = sum(e[1] for e in entries)
+        for mtime, size, p in sorted(entries):
+            if total <= budget:
+                break
+            os.unlink(p)
+            total -= size
+    except OSError:
+        pass
