@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "see vsr_tpu.i18n.available_locales())")
     parser.add_argument("--check-update", action="store_true",
                         help="Query the latest release and exit")
+    parser.add_argument("--gui", action="store_true",
+                        help="Launch the browser GUI instead of processing "
+                             "(equivalent to python -m vsr_tpu.gui)")
+    parser.add_argument("--port", type=int, default=8123,
+                        help="GUI port (with --gui)")
     return parser
 
 
@@ -62,6 +67,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                   f"{info['tag']} ({info['url']})")
         else:
             print(f"vsr_tpu {__version__}: up to date ({info['tag']})")
+        return 0
+    if args.gui:
+        from vsr_tpu.gui.server import GuiServer
+
+        GuiServer(port=args.port,
+                  config_path=args.config or DEFAULT_CONFIG_PATH
+                  ).serve_forever()
         return 0
     if not args.input:
         build_parser().error("--input/-i is required")
