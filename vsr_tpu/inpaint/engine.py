@@ -283,6 +283,14 @@ class STTNWindowEngine:
 
             self._compiled = compile_cached(self._step, *args)
         out = self._compiled(*args)  # async dispatch — does not block
+        # Queue the D2H right behind this chunk's compute rather than at
+        # np.asarray time (no measurable effect on the axon tunnel, where
+        # transfers serialize with compute anyway, but it is the correct
+        # ordering for standard PJRT backends with DMA streams).
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
         return (out, t_valid)
 
     def fetch(self, handle) -> np.ndarray:

@@ -159,6 +159,10 @@ class PropainterInpainter:
             lambda p, fr, fl, m, mu, lt, fv: self.generator.apply(
                 p, fr, fl, m, mu, lt, frame_valid=fv),
             static_argnums=(5,))
+        # static-window device sweep: generator + composite in one program,
+        # comp/written buffers donated across the window loop
+        self._window_compose_fn = cached_jit(
+            self._window_compose, donate_argnums=(7, 8))
 
     # ---- stages ----
     def _flow_complete(self, params, flows_f, flows_b, masks):
@@ -168,10 +172,17 @@ class PropainterInpainter:
         return RecurrentFlowCompleteNet.combine_flow(
             (flows_f, flows_b), pred, masks)
 
-    def _compute_flows(self, frames_n: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """frames_n [T, H, W, 3] in [-1,1] -> (flows_f, flows_b) [T-1, ...]."""
+    def _compute_flows(self, frames_n) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """frames_n [T, H, W, 3] in [-1,1] (device) -> (flows_f, flows_b)
+        [T-1, ...] on device.
+
+        Device-resident: inputs are sliced on device and outputs stay there —
+        per-chunk host round trips (~40 MB each over a ~10-60 MB/s tunnel)
+        previously dominated this stage's wall clock.
+        """
         T, H, W, _ = frames_n.shape
         clip = short_clip_len_for_width(W)
+        frames_n = jnp.asarray(frames_n)
         f_list, b_list = [], []
         # chunk into fixed-size pair batches (pad tail) for stable compiles
         pairs_a = frames_n[:-1]
@@ -180,28 +191,27 @@ class PropainterInpainter:
         for s in range(0, n_pairs, clip):
             a = pairs_a[s : s + clip]
             b = pairs_b[s : s + clip]
-            n = len(a)
+            n = a.shape[0]
             if n < clip:
-                pad = np.repeat(a[-1:], clip - n, axis=0)
-                a = np.concatenate([a, pad])
-                b = np.concatenate([b, np.repeat(b[-1:], clip - n, axis=0)])
-            ff = np.asarray(self._raft_pair_fn(
-                self.raft_params, jnp.asarray(a), jnp.asarray(b)))[:n]
-            fb = np.asarray(self._raft_pair_fn(
-                self.raft_params, jnp.asarray(b), jnp.asarray(a)))[:n]
-            f_list.append(ff)
-            b_list.append(fb)
-        return np.concatenate(f_list), np.concatenate(b_list)
+                pad = jnp.repeat(a[-1:], clip - n, axis=0)
+                a = jnp.concatenate([a, pad])
+                b = jnp.concatenate([b, jnp.repeat(b[-1:], clip - n, axis=0)])
+            f_list.append(self._raft_pair_fn(self.raft_params, a, b)[:n])
+            b_list.append(self._raft_pair_fn(self.raft_params, b, a)[:n])
+        if len(f_list) == 1:
+            return f_list[0], b_list[0]
+        return jnp.concatenate(f_list), jnp.concatenate(b_list)
 
     def _complete_flows(self, flows_f, flows_b, flow_masks):
-        """Chunked flow completion with halo (ref :253-281). Host-driven."""
+        """Chunked flow completion with halo (ref :253-281). Device-resident:
+        slices and outputs stay jnp arrays."""
         flow_length = len(flows_f)
         sub = self.sub_video_length
         if flow_length <= sub:
             out_f, out_b = self._flow_complete_fn(
-                self.flow_params, jnp.asarray(flows_f[None]),
-                jnp.asarray(flows_b[None]), jnp.asarray(flow_masks[None]))
-            return np.asarray(out_f[0]), np.asarray(out_b[0])
+                self.flow_params, jnp.asarray(flows_f)[None],
+                jnp.asarray(flows_b)[None], jnp.asarray(flow_masks)[None])
+            return out_f[0], out_b[0]
         pad_len = 5
         pf, pb = [], []
         for f in range(0, flow_length, sub):
@@ -211,25 +221,28 @@ class PropainterInpainter:
             pad_e = e_f - min(flow_length, f + sub)
             of, ob = self._flow_complete_fn(
                 self.flow_params,
-                jnp.asarray(flows_f[s_f:e_f][None]),
-                jnp.asarray(flows_b[s_f:e_f][None]),
-                jnp.asarray(flow_masks[s_f : e_f + 1][None]))
-            of, ob = np.asarray(of[0]), np.asarray(ob[0])
+                jnp.asarray(flows_f[s_f:e_f])[None],
+                jnp.asarray(flows_b[s_f:e_f])[None],
+                jnp.asarray(flow_masks[s_f : e_f + 1])[None])
+            of, ob = of[0], ob[0]
             end = of.shape[0] - pad_e
             pf.append(of[pad_s:end])
             pb.append(ob[pad_s:end])
-        return np.concatenate(pf), np.concatenate(pb)
+        return jnp.concatenate(pf), jnp.concatenate(pb)
 
     def _propagate_images(self, frames_n, masks_dilated, flows_f, flows_b):
-        """Chunked image propagation with halo (ref :283-316)."""
+        """Chunked image propagation with halo (ref :283-316).
+        Device-resident in and out."""
         T = len(frames_n)
+        frames_n = jnp.asarray(frames_n)
+        masks_dilated = jnp.asarray(masks_dilated)
         masked = frames_n * (1 - masks_dilated)
         sub = min(100, self.sub_video_length)
         if T <= sub:
             prop, upd = self._img_prop_fn(
-                jnp.asarray(masked[None]), jnp.asarray(masks_dilated[None]),
-                jnp.asarray(flows_f[None]), jnp.asarray(flows_b[None]))
-            prop, upd = np.asarray(prop[0]), np.asarray(upd[0])
+                masked[None], masks_dilated[None],
+                jnp.asarray(flows_f)[None], jnp.asarray(flows_b)[None])
+            prop, upd = prop[0], upd[0]
             updated = frames_n * (1 - masks_dilated) + prop * masks_dilated
             return updated, upd
         pad_len = 10
@@ -240,17 +253,17 @@ class PropainterInpainter:
             pad_s = f - s_f
             pad_e = e_f - min(T, f + sub)
             prop, upd = self._img_prop_fn(
-                jnp.asarray(masked[s_f:e_f][None]),
-                jnp.asarray(masks_dilated[s_f:e_f][None]),
-                jnp.asarray(flows_f[s_f : e_f - 1][None]),
-                jnp.asarray(flows_b[s_f : e_f - 1][None]))
-            prop, upd = np.asarray(prop[0]), np.asarray(upd[0])
+                masked[s_f:e_f][None],
+                masks_dilated[s_f:e_f][None],
+                jnp.asarray(flows_f[s_f : e_f - 1])[None],
+                jnp.asarray(flows_b[s_f : e_f - 1])[None])
+            prop, upd = prop[0], upd[0]
             updated = (frames_n[s_f:e_f] * (1 - masks_dilated[s_f:e_f])
                        + prop * masks_dilated[s_f:e_f])
             end = updated.shape[0] - pad_e
             out_frames.append(updated[pad_s:end])
             out_masks.append(upd[pad_s:end])
-        return np.concatenate(out_frames), np.concatenate(out_masks)
+        return jnp.concatenate(out_frames), jnp.concatenate(out_masks)
 
     # ---- full pipeline on one clip ----
     def inpaint(self, frames_bgr: List[np.ndarray], mask: np.ndarray) -> List[np.ndarray]:
@@ -261,6 +274,47 @@ class PropainterInpainter:
         """
         dilated = dilate_mask(mask, self.mask_dilation)
         return self._inpaint_with_masks(frames_bgr, dilated, dilated)
+
+    def _window_compose(self, params, updated_frames, comp_f, comp_b,
+                        masks_dilated, updated_masks, rgb_u8, comp, written,
+                        sel, pair_ids, valid, safe_neighbor_ids):
+        """One static window fully on device: gather -> generator ->
+        reference uint8 0.5/0.5 composite into ``comp``.
+
+        comp/written carry T+1 rows; padded neighbor slots scatter into the
+        trash row T (duplicate scatter indices from repeated pad ids would
+        otherwise be order-undefined). Donated and threaded through the
+        per-window python loop — the only D2H of the whole stage is the
+        final composited video.
+        """
+        n_max = safe_neighbor_ids.shape[0]
+        vmask = valid[:, None, None, None].astype(updated_frames.dtype)
+        uf = updated_frames[sel][None]
+        m = (masks_dilated[sel] * vmask)[None]
+        mu = (updated_masks[sel] * vmask)[None]
+        pair_valid = (valid[: n_max - 1] & valid[1:n_max])
+        pv = pair_valid[:, None, None, None].astype(comp_f.dtype)
+        sel_flows = ((comp_f[pair_ids] * pv)[None],
+                     (comp_b[pair_ids] * pv)[None])
+        pred = self.generator.apply(params, uf, sel_flows, m, mu, n_max,
+                                    frame_valid=valid[None])[0]
+        pred_u8 = jnp.clip((pred + 1.0) / 2.0 * 255.0, 0, 255
+                           ).astype(jnp.uint8)
+
+        nvalid = valid[:n_max]
+        ids = safe_neighbor_ids  # invalid slots already point at row T
+        bmask = masks_dilated[jnp.clip(ids, 0, rgb_u8.shape[0] - 1)
+                              ].astype(jnp.uint8)
+        img = pred_u8 * bmask + rgb_u8[jnp.clip(ids, 0, rgb_u8.shape[0] - 1)
+                                       ] * (1 - bmask)
+        prev = comp[ids]
+        w = written[ids][:, None, None, None]
+        blended = (prev.astype(jnp.float32) * 0.5
+                   + img.astype(jnp.float32) * 0.5).astype(jnp.uint8)
+        new = jnp.where(w, blended, img)
+        comp = comp.at[ids].set(new)
+        written = written.at[ids].set(written[ids] | nvalid)
+        return comp, written
 
     def _run_stages(self, rgb, frames_n, flow_masks, masks_dilated) -> List[np.ndarray]:
         T = len(frames_n)
@@ -274,7 +328,6 @@ class PropainterInpainter:
             frames_n, masks_dilated, comp_f, comp_b)
 
         # 4) windowed transformer + composite
-        comp_frames: List[Optional[np.ndarray]] = [None] * T
         ref_num = self.sub_video_length // self.ref_stride if T > self.sub_video_length else -1
 
         # precompute window selections; in static mode pad every window to
@@ -286,45 +339,67 @@ class PropainterInpainter:
                             min(T, f + self.neighbor_stride + 1)))
             rs = get_ref_index(f, ns, T, self.ref_stride, ref_num)
             windows.append((ns, rs))
-        static = self.static_windows
         n_max = max(len(ns) for ns, _ in windows)
         r_max = max(len(rs) for _, rs in windows)
 
+        if self.static_windows:
+            return self._run_windows_static(
+                rgb, masks_dilated, updated_frames, updated_masks,
+                comp_f, comp_b, windows, n_max, r_max, T)
+        return self._run_windows_dynamic(
+            rgb, masks_dilated, updated_frames, updated_masks,
+            comp_f, comp_b, windows, T)
+
+    def _run_windows_static(self, rgb, masks_dilated, updated_frames,
+                            updated_masks, comp_f, comp_b, windows,
+                            n_max, r_max, T) -> List[np.ndarray]:
+        """Device-resident window sweep: one jitted program per clip shape,
+        single D2H of the composited clip."""
+        rgb_u8 = jnp.asarray(rgb)
+        masks_dilated = jnp.asarray(masks_dilated)
+        H, W = rgb.shape[1:3]
+        comp = jnp.zeros((T + 1, H, W, 3), jnp.uint8)
+        written = jnp.zeros((T + 1,), bool)
         for neighbor_ids, ref_ids in windows:
-            if static:
-                n_pad = n_max - len(neighbor_ids)
-                r_pad = r_max - len(ref_ids)
-                sel = (neighbor_ids + [neighbor_ids[-1]] * n_pad
-                       + ref_ids + [0] * r_pad)
-                valid = np.zeros((1, len(sel)), bool)
-                valid[0, : len(neighbor_ids)] = True
-                valid[0, n_max : n_max + len(ref_ids)] = True
-                l_t = n_max
-                # masks of padded slots are zeroed (no attention occupancy)
-                sel_arr = np.asarray(sel)
-                sel_masks = masks_dilated[sel_arr].copy()
-                sel_upd = updated_masks[sel_arr].copy()
-                sel_masks[~valid[0]] = 0
-                sel_upd[~valid[0]] = 0
-                # neighbor-pair flows; zero the padded pairs
-                pair_ids = np.asarray(
-                    neighbor_ids[:-1]
-                    + [neighbor_ids[-1] - 1] * n_pad)[: n_max - 1]
-                flows_f_sel = comp_f[pair_ids].copy()
-                flows_b_sel = comp_b[pair_ids].copy()
-                n_valid_pairs = len(neighbor_ids) - 1
-                flows_f_sel[n_valid_pairs:] = 0
-                flows_b_sel[n_valid_pairs:] = 0
-                frame_valid = jnp.asarray(valid)
-            else:
-                sel = neighbor_ids + ref_ids
-                sel_arr = np.asarray(sel)
-                sel_masks = masks_dilated[sel_arr]
-                sel_upd = updated_masks[sel_arr]
-                flows_f_sel = comp_f[np.asarray(neighbor_ids[:-1])]
-                flows_b_sel = comp_b[np.asarray(neighbor_ids[:-1])]
-                l_t = len(neighbor_ids)
-                frame_valid = None
+            n_pad = n_max - len(neighbor_ids)
+            r_pad = r_max - len(ref_ids)
+            sel = np.asarray(neighbor_ids + [neighbor_ids[-1]] * n_pad
+                             + ref_ids + [0] * r_pad, np.int32)
+            valid = np.zeros((len(sel),), bool)
+            valid[: len(neighbor_ids)] = True
+            valid[n_max : n_max + len(ref_ids)] = True
+            pair_ids = np.asarray(
+                neighbor_ids[:-1]
+                + [neighbor_ids[-1] - 1] * n_pad, np.int32)[: n_max - 1]
+            safe_ids = np.asarray(
+                neighbor_ids + [T] * n_pad, np.int32)  # pads -> trash row
+            comp, written = self._window_compose_fn(
+                self.gen_params, updated_frames, comp_f, comp_b,
+                masks_dilated, updated_masks, rgb_u8, comp, written,
+                jnp.asarray(sel), jnp.asarray(pair_ids), jnp.asarray(valid),
+                jnp.asarray(safe_ids))
+        out = np.asarray(comp[:T])  # the stage's single D2H
+        return [f for f in out[..., ::-1]]  # RGB->BGR
+
+    def _run_windows_dynamic(self, rgb, masks_dilated, updated_frames,
+                             updated_masks, comp_f, comp_b, windows,
+                             T) -> List[np.ndarray]:
+        """Ragged reference scheduling (VSR_PP_DYNAMIC_WINDOWS=1, A/B debug):
+        host-driven, one compile per distinct window shape."""
+        rgb = np.asarray(rgb)
+        masks_dilated = np.asarray(masks_dilated)
+        updated_frames = np.asarray(updated_frames)
+        updated_masks = np.asarray(updated_masks)
+        comp_f = np.asarray(comp_f)
+        comp_b = np.asarray(comp_b)
+        comp_frames: List[Optional[np.ndarray]] = [None] * T
+        for neighbor_ids, ref_ids in windows:
+            sel_arr = np.asarray(neighbor_ids + ref_ids)
+            sel_masks = masks_dilated[sel_arr]
+            sel_upd = updated_masks[sel_arr]
+            flows_f_sel = comp_f[np.asarray(neighbor_ids[:-1])]
+            flows_b_sel = comp_b[np.asarray(neighbor_ids[:-1])]
+            l_t = len(neighbor_ids)
             sel_flows = (jnp.asarray(flows_f_sel[None]),
                          jnp.asarray(flows_b_sel[None]))
             pred = self._gen_fn(
@@ -334,7 +409,7 @@ class PropainterInpainter:
                 jnp.asarray(sel_masks[None]),
                 jnp.asarray(sel_upd[None]),
                 l_t,
-                frame_valid,
+                None,
             )
             pred = np.asarray(pred[0])
             pred_u8 = np.clip((pred + 1) / 2 * 255, 0, 255).astype(np.uint8)
@@ -376,13 +451,22 @@ class PropainterInpainter:
 
     def _inpaint_with_masks(self, frames_bgr, flow_mask, mask_dilated):
         """Core staged pipeline with explicit (flow_mask, mask) pair —
-        shared by inpaint() (both = dilated subtitle mask) and outpaint()."""
+        shared by inpaint() (both = dilated subtitle mask) and outpaint().
+
+        One uint8 H2D for the clip; normalization and the T-fold mask
+        broadcast happen on device (the fp32 frame stack alone is 4x the
+        uint8 bytes — never ship it over the tunnel)."""
         T = len(frames_bgr)
         rgb = np.stack([f[..., ::-1] for f in frames_bgr])
-        frames_n = rgb.astype(np.float32) / 255.0 * 2.0 - 1.0
-        flow_masks = np.repeat(flow_mask[None, :, :, None], T, axis=0)
-        masks_dilated = np.repeat(mask_dilated[None, :, :, None], T, axis=0)
-        return self._run_stages(rgb, frames_n, flow_masks, masks_dilated)
+        rgb_dev = jnp.asarray(rgb)
+        frames_n = rgb_dev.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+        flow_masks = jnp.broadcast_to(
+            jnp.asarray(flow_mask, jnp.float32)[None, :, :, None],
+            (T, *flow_mask.shape, 1))
+        masks_dilated = jnp.broadcast_to(
+            jnp.asarray(mask_dilated, jnp.float32)[None, :, :, None],
+            (T, *mask_dilated.shape, 1))
+        return self._run_stages(rgb_dev, frames_n, flow_masks, masks_dilated)
 
     # ---- band video path (ref :363-418) ----
     def __call__(self, input_frames: List[np.ndarray], input_mask: np.ndarray) -> List[np.ndarray]:

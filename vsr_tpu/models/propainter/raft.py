@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vsr_tpu.ops.grid_sample import grid_sample_bilinear
+
 from vsr_tpu.ops.upsample import upsample_bilinear_align_corners
 
 _PAD1 = ((1, 1), (1, 1))
@@ -117,29 +117,71 @@ def build_corr_pyramid(
     return pyramid
 
 
+def _lookup_level_patch(corr: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                        r: int) -> jnp.ndarray:
+    """Bilinear window lookup on one pyramid level via contiguous patches.
+
+    corr [N, H, W]; cx/cy [N] pixel centroids -> [N, (2r+1)^2] taps at
+    (cx + i - r, cy + j - r), plane k = i*(2r+1) + j (X slowest — the
+    reference tap-ordering quirk, raft/corr.py:34-40; converted update-block
+    weights expect exactly this order, pinned by
+    tests/test_activation_parity.py::TestRAFTParity).
+
+    All taps share one fractional offset (integer tap spacing), so ONE
+    [P, P] contiguous slice per query (P = 2r+2) provides every corner and
+    the 4*(2r+1)^2 bilinear reads become arithmetic over the patch — the
+    per-corner random gather this replaces dominated the RAFT GRU iteration
+    on TPU (~2.7 s/iteration profiled at 720p, batch 8).
+    """
+    N, H, W = corr.shape
+    P = 2 * r + 2
+    K = 2 * r + 1
+    x0f = jnp.floor(cx)
+    y0f = jnp.floor(cy)
+    wx = (cx - x0f).astype(corr.dtype)[:, None]  # shared by all taps
+    wy = (cy - y0f).astype(corr.dtype)[:, None]
+
+    # gather the P*P distinct corner values once (clipped flat indices;
+    # out-of-range corners are masked to zero below)
+    cx0 = (x0f - r).astype(jnp.int32)  # first corner column
+    cy0 = (y0f - r).astype(jnp.int32)
+    dy, dx = jnp.meshgrid(jnp.arange(P), jnp.arange(P), indexing="ij")
+    gx = jnp.clip(cx0[:, None] + dx.reshape(-1)[None], 0, W - 1)
+    gy = jnp.clip(cy0[:, None] + dy.reshape(-1)[None], 0, H - 1)
+    patch = jnp.take_along_axis(
+        corr.reshape(N, H * W), gy * W + gx, axis=1).reshape(N, P, P)
+
+    # corner positions inside the patch are STATIC per tap: tap (i, j) has
+    # corners (i + xo, j + yo) — slicing, not gathering
+    def corner(xo, yo):
+        vals = patch[:, yo : yo + K, xo : xo + K]       # [N, j, i]
+        acx = (cx0 + xo)[:, None, None] + jnp.arange(K)[None, None, :]
+        acy = (cy0 + yo)[:, None, None] + jnp.arange(K)[None, :, None]
+        inb = ((acx >= 0) & (acx <= W - 1) & (acy >= 0) & (acy <= H - 1))
+        # reorder [N, j, i] -> plane k = i*K + j (X slowest)
+        return (vals * inb.astype(corr.dtype)).transpose(0, 2, 1
+                                                         ).reshape(N, K * K)
+
+    v00 = corner(0, 0)
+    v01 = corner(1, 0)          # x+1
+    v10 = corner(0, 1)          # y+1
+    v11 = corner(1, 1)
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
 def lookup_corr(
     pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:
     """coords: [B, h1, w1, 2] (x, y) -> [B, h1, w1, num_levels*(2r+1)^2]."""
     B, h1, w1, _ = coords.shape
-    r = radius
-    dx, dy = jnp.meshgrid(
-        jnp.linspace(-r, r, 2 * r + 1), jnp.linspace(-r, r, 2 * r + 1),
-        indexing="xy",
-    )
-    # Tap ordering quirk (checkpoint-compat critical): the reference builds
-    # delta as meshgrid(dy, dx) but adds it to (x, y)-ordered coords
-    # (raft/corr.py:34-40), so plane k = i*(2r+1)+j samples at
-    # (x + i - r, y + j - r) — the X offset varies slowest. Converted update
-    # block weights expect exactly this plane order (verified by
-    # tests/test_activation_parity.py::TestRAFTParity).
-    delta = jnp.stack([dy.reshape(-1), dx.reshape(-1)], axis=-1)  # [(2r+1)^2, 2]
+    flat = coords.reshape(B * h1 * w1, 2)
     outs = []
     for i, corr in enumerate(pyramid):
-        centroid = coords.reshape(B * h1 * w1, 1, 2) / (2 ** i)
-        pts = centroid + delta[None]
-        sampled = grid_sample_bilinear(corr, pts)  # [B*h1*w1, K, 1]
-        outs.append(sampled[..., 0].reshape(B, h1, w1, -1))
+        cx = flat[:, 0] / (2 ** i)
+        cy = flat[:, 1] / (2 ** i)
+        sampled = _lookup_level_patch(corr[..., 0], cx, cy, radius)
+        outs.append(sampled.reshape(B, h1, w1, -1))
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -102,14 +102,20 @@ def crop_resize(
     out_w: int,
     out_h: int,
     threads: int = 1,
+    out: Optional[np.ndarray] = None,
 ) -> Optional[np.ndarray]:
     """Bilinear resize of frame[y0:y0+crop_h] to (out_h, out_w). None when
-    native unavailable."""
+    native unavailable. ``out`` writes into a caller buffer (e.g. one row of
+    a preallocated chunk stack — skips the np.stack copy on the hot path)."""
     lib = get_lib()
     if lib is None or not frame.flags.c_contiguous:
         return None
     H, W = frame.shape[:2]
-    out = np.empty((out_h, out_w, 3), np.uint8)
+    if out is None:
+        out = np.empty((out_h, out_w, 3), np.uint8)
+    else:
+        assert out.shape == (out_h, out_w, 3) and out.dtype == np.uint8 \
+            and out.flags.c_contiguous
     lib.crop_resize(_ptr(frame), W, y0, crop_h, W, _ptr(out), out_h, out_w,
                     threads)
     return out
