@@ -112,8 +112,14 @@ class TestLamaInpainterWrapper:
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
             jnp.zeros((1, 64, 64, 1)))
         import jax as _jax
-        inp._forward = _jax.jit(
-            lambda params, img, mask: inp.model.apply(params, img, mask))
+
+        def fwd(params, img_u8, mask_u8):  # the production uint8 contract
+            img = img_u8.astype(jnp.float32) / 255.0
+            msk = (mask_u8 > 0).astype(jnp.float32)
+            out = inp.model.apply(params, img, msk)
+            return jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
+
+        inp._forward = _jax.jit(fwd)
         return inp
 
     def test_single_image_native_res(self, inpainter):

@@ -60,33 +60,50 @@ class LamaInpainter:
         )
         from vsr_tpu.utils.exec_cache import cached_jit
 
-        self._forward = cached_jit(
-            lambda params, img, mask: self.model.apply(params, img, mask)
-        )
+        def fwd(params, img_u8, mask_u8):
+            # uint8 in, uint8 out: normalization and the final clip/cast run
+            # on device so only uint8 crosses the (slow, tunnelled) link
+            img = img_u8.astype(jnp.float32) / 255.0
+            msk = (mask_u8 > 0).astype(jnp.float32)
+            out = self.model.apply(params, img, msk)
+            return jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
+
+        self._forward = cached_jit(fwd)
 
     # ---- core batched forward over a fixed shape bucket ----
-    def _run_batch(self, images: List[np.ndarray], masks: List[np.ndarray]) -> List[np.ndarray]:
-        """images: HWC uint8 BGR (equal shapes); masks: HW/HW1 uint8."""
+    def _dispatch_batch(self, images: List[np.ndarray], masks: List[np.ndarray]):
+        """Async-dispatch one padded batch; returns (handle, orig_h, orig_w)."""
         orig_h, orig_w = images[0].shape[:2]
-        img = np.stack([pad_to_modulo(im, 8) for im in images]).astype(np.float32) / 255.0
+        img = np.stack([pad_to_modulo(im, 8) for im in images])
         msk = np.stack([
-            pad_to_modulo((np.asarray(m).squeeze() > 0).astype(np.float32)[..., None], 8)
+            pad_to_modulo(np.asarray(m).squeeze()[..., None], 8)
             for m in masks
         ])
-        out = np.asarray(self._forward(self.params, jnp.asarray(img), jnp.asarray(msk)))
-        out = np.clip(out * 255.0, 0, 255).astype(np.uint8)
-        return [out[i, :orig_h, :orig_w] for i in range(len(images))]
+        out = self._forward(self.params, jnp.asarray(img), jnp.asarray(msk))
+        return out, orig_h, orig_w
+
+    def _fetch_batch(self, handle, n: int) -> List[np.ndarray]:
+        out, orig_h, orig_w = handle
+        arr = np.asarray(out)
+        return [arr[i, :orig_h, :orig_w] for i in range(n)]
+
+    def _run_batch(self, images: List[np.ndarray], masks: List[np.ndarray]) -> List[np.ndarray]:
+        """images: HWC uint8 BGR (equal shapes); masks: HW/HW1 uint8."""
+        return self._fetch_batch(self._dispatch_batch(images, masks),
+                                 len(images))
 
     def inpaint(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Single-image native-resolution inpaint (ref :17-28)."""
         return self._run_batch([image], [mask])[0]
 
     def inpaint_batch(self, images: List[np.ndarray], masks: List[np.ndarray]) -> List[np.ndarray]:
-        """Mini-batched inference; the tail batch pads to MINI_BATCH so each
-        shape bucket compiles at most twice (batch 1 and batch 4)."""
+        """Mini-batched inference, two batches in flight (async dispatch);
+        the tail batch pads to MINI_BATCH so each shape bucket compiles at
+        most twice (batch 1 and batch 4)."""
         if len(images) == 1:
             return [self.inpaint(images[0], masks[0])]
         results: List[np.ndarray] = []
+        pending: List[tuple] = []
         for start in range(0, len(images), MINI_BATCH):
             chunk = images[start : start + MINI_BATCH]
             mchunk = masks[start : start + MINI_BATCH]
@@ -94,7 +111,12 @@ class LamaInpainter:
             if n < MINI_BATCH:
                 chunk = chunk + [chunk[-1]] * (MINI_BATCH - n)
                 mchunk = mchunk + [mchunk[-1]] * (MINI_BATCH - n)
-            results.extend(self._run_batch(chunk, mchunk)[:n])
+            pending.append((self._dispatch_batch(chunk, mchunk), n))
+            if len(pending) > 2:
+                handle, k = pending.pop(0)
+                results.extend(self._fetch_batch(handle, k))
+        for handle, k in pending:
+            results.extend(self._fetch_batch(handle, k))
         return results
 
     # ---- video band path (ref :69-116) ----
