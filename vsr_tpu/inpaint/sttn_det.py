@@ -134,6 +134,11 @@ class STTNDetInpainter:
         )
         engine = self._engine(clip, out_rows)
         outs = []
+        pending = []  # 2-deep chunk pipelining, like sttn_auto.__call__
         for s in range(0, t, clip):
-            outs.append(engine.process_chunk(scaled[s : s + clip], masks[s : s + clip]))
+            pending.append(
+                engine.dispatch(scaled[s : s + clip], masks[s : s + clip]))
+            if len(pending) > 2:
+                outs.append(engine.fetch(pending.pop(0)))
+        outs.extend(engine.fetch(h) for h in pending)
         return np.concatenate(outs, axis=0)
