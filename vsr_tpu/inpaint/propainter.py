@@ -76,6 +76,11 @@ def dilate_mask(mask: np.ndarray, iterations: int) -> np.ndarray:
 
 
 def short_clip_len_for_width(width: int) -> int:
+    """Reference RAFT pair-chunk table (propainter_inpaint.py:221-228) —
+    width-keyed because the reference always flows FULL frames on ~24 GB
+    GPUs. Kept for parity reference; the wrapper sizes by corr footprint
+    (raft_chunk_pairs), which matters for band crops far smaller than the
+    frame."""
     if width <= 640:
         return 12
     if width <= 720:
@@ -83,6 +88,18 @@ def short_clip_len_for_width(width: int) -> int:
     if width <= 1280:
         return 4
     return 2
+
+
+def raft_chunk_pairs(height: int, width: int,
+                     budget_bytes: float = 4e9) -> int:
+    """Pairs per RAFT call sized so the all-pairs corr pyramid fits the
+    budget: each per-call RPC to the (remote) device costs ~1 s, so bigger
+    chunks directly cut the flow stage's wall clock. 4 GB default leaves
+    room for RAFT activations + the pipeline's resident frame stacks in
+    16 GB HBM."""
+    n1 = max(1, (height // 8) * (width // 8))
+    per_pair = (n1 * n1) * 4 * 1.34  # fp32 pyramid, levels sum to ~1.33x
+    return int(max(2, min(16, budget_bytes // per_pair)))
 
 
 class PropainterInpainter:
@@ -181,13 +198,17 @@ class PropainterInpainter:
         previously dominated this stage's wall clock.
         """
         T, H, W, _ = frames_n.shape
-        clip = short_clip_len_for_width(W)
+        n_pairs = T - 1
+        cap = raft_chunk_pairs(H, W)
+        # balanced chunks: minimize tail padding (a padded pair costs as
+        # much as a real one — RAFT is gather-bound, not dispatch-bound)
+        n_chunks = max(1, math.ceil(n_pairs / cap))
+        clip = math.ceil(n_pairs / n_chunks)
         frames_n = jnp.asarray(frames_n)
         f_list, b_list = [], []
         # chunk into fixed-size pair batches (pad tail) for stable compiles
         pairs_a = frames_n[:-1]
         pairs_b = frames_n[1:]
-        n_pairs = T - 1
         for s in range(0, n_pairs, clip):
             a = pairs_a[s : s + clip]
             b = pairs_b[s : s + clip]
