@@ -308,6 +308,12 @@ class RAFT(nn.Module):
     hidden: int = 128
     context: int = 128
     dtype: jnp.dtype = jnp.float32
+    # Storage dtype of the all-pairs correlation pyramid. bf16 halves the
+    # lookup's gather bytes (the profiled bottleneck of the whole RAFT
+    # forward) and the pyramid's HBM at a ~1e-2 px flow perturbation;
+    # float32 restores bit-parity with the torch reference (the default the
+    # parity tests pin).
+    corr_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
@@ -318,7 +324,9 @@ class RAFT(nn.Module):
                             name="cnet")
         fmap1 = fnet(image1, train).astype(jnp.float32)
         fmap2 = fnet(image2, train).astype(jnp.float32)
-        pyramid = tuple(build_corr_pyramid(fmap1, fmap2, self.corr_levels))
+        pyramid = tuple(
+            c.astype(self.corr_dtype)
+            for c in build_corr_pyramid(fmap1, fmap2, self.corr_levels))
 
         ctx = cnet(image1, train)
         net = jnp.tanh(ctx[..., : self.hidden])
