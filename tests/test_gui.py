@@ -21,11 +21,18 @@ from vsr_tpu.config import Config, InpaintMode
 from vsr_tpu.gui.server import GuiServer
 
 
-def _req(base, path, body=None):
+_TOKEN = [""]  # per-session API token, set by the server fixture
+
+
+def _req(base, path, body=None, token=None, origin=None):
+    headers = {"Content-Type": "application/json",
+               "X-VSR-Token": _TOKEN[0] if token is None else token}
+    if origin is not None:
+        headers["Origin"] = origin
     req = urllib.request.Request(
         base + path,
         data=None if body is None else json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"},
+        headers=headers,
         method="GET" if body is None else "POST",
     )
     with urllib.request.urlopen(req, timeout=10) as r:
@@ -42,6 +49,7 @@ def server(tmp_path):
     srv = GuiServer(port=0, config=cfg,
                     config_path=str(tmp_path / "config.json"))
     srv.start()
+    _TOKEN[0] = srv.token
     yield srv
     srv.stop()
 
@@ -73,6 +81,46 @@ def test_index_and_config_roundtrip(server, tmp_path):
     # persisted like the reference's qconfig.save
     saved = Config.load(str(tmp_path / "config.json"))
     assert saved.inpaint_mode == InpaintMode.LAMA
+
+
+def test_api_rejects_cross_origin_and_missing_token(server):
+    """CSRF hardening: /api/* requires the per-session token, and requests
+    bearing a foreign Origin are rejected even with it."""
+    base = server.address
+    html = _req(base, "/")
+    assert server.token.encode() in html  # page receives the session token
+
+    for path, body in [("/api/state", None), ("/api/config", None),
+                       ("/api/tasks", {"paths": ["/etc/hostname"]}),
+                       ("/api/run", {}),
+                       ("/api/video_info?path=/etc/hostname", None)]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, path, body, token="")
+        assert e.value.code == 403
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "/api/state", origin="http://evil.example")
+    assert e.value.code == 403
+    # same-origin with the token still works
+    host = base.split("//", 1)[1]
+    assert "tasks" in _req(base, "/api/state", origin=f"http://{host}")
+    # <img> URLs pass the token as a query parameter
+    req = urllib.request.Request(f"{base}/api/state?token={server.token}")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+
+
+def test_preview_follows_task_after_removal(server, video):
+    """Previews are keyed by task identity, not queue position: removing a
+    lower-index task must not remap a live preview onto the wrong task."""
+    base = server.address
+    _req(base, "/api/tasks", {"paths": [video, video]})
+    uid1 = server.manager.tasks[1].uid
+    server.manager._previews[uid1] = b"jpegbytes"
+    assert _req(base, "/api/state")["tasks"][1]["has_preview"]
+    assert _req(base, "/api/task/0/remove", {})["removed"]
+    st = _req(base, "/api/state")
+    assert st["tasks"][0]["has_preview"]  # shifted task kept its preview
+    assert _req(base, "/api/preview/0") == b"jpegbytes"
 
 
 def test_i18n_endpoint(server):

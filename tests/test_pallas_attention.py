@@ -63,6 +63,24 @@ class TestFlashTokenAttention:
         np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_all_keys_masked_matches_xla(self):
+        """ADVICE r2: when EVERY real key carries the -1e9 mask (det variant,
+        all key patches over the hole threshold) the kernel must distribute
+        softmax over the real keys like the XLA path — not leak Nk/nk_pad of
+        the weight onto zero-valued padded rows (Nk=40 pads to 128 here)."""
+        from vsr_tpu.ops.pallas_token_attention import flash_token_attention
+
+        rng = np.random.default_rng(3)
+        q, k, v = (jnp.asarray(
+            rng.standard_normal((2, 40, 64)).astype(np.float32))
+            for _ in range(3))
+        bias = jnp.full((2, 40), -1e9, jnp.float32)
+        got = flash_token_attention(q, k, v, key_bias=bias, q_block=16,
+                                    k_block=128, interpret=True)
+        want = self._xla_reference(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_bf16(self):
         from vsr_tpu.ops.pallas_token_attention import flash_token_attention
 

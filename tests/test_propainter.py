@@ -43,6 +43,24 @@ class TestRAFTComponents:
         # center tap (index 4) should be the max for most positions
         assert (corr.argmax(-1) == 4).mean() > 0.8
 
+    def test_lookup_onehot_matches_patch(self):
+        """The round-3 gather-free contraction lookup ("onehot") must be
+        numerically equivalent to the round-2 gather path ("patch") —
+        including fractional centroids, out-of-range windows (zero-padding
+        semantics), and multi-level coordinate scaling."""
+        rng = np.random.default_rng(7)
+        f1 = jnp.asarray(rng.standard_normal((2, 8, 12, 16)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((2, 8, 12, 16)).astype(np.float32))
+        pyr = build_corr_pyramid(f1, f2, num_levels=3)
+        # centroids spanning in-bounds, fractional, and far out-of-bounds
+        coords = rng.uniform(-6.0, 18.0, (2, 8, 12, 2)).astype(np.float32)
+        coords = jnp.asarray(coords)
+        for radius in (1, 4):
+            a = lookup_corr(pyr, coords, radius=radius, method="onehot")
+            b = lookup_corr(pyr, coords, radius=radius, method="patch")
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_convex_upsample_shapes(self):
         flow = jnp.zeros((1, 4, 6, 2))
         mask = jnp.zeros((1, 4, 6, 576))

@@ -84,7 +84,9 @@ class GuiTaskManager:
     def __init__(self, config: Optional[Config] = None):
         self.config = config or Config()
         self.tasks: List[Task] = []
-        self._previews: Dict[int, bytes] = {}  # task index -> latest jpeg
+        self._previews: Dict[int, bytes] = {}  # task uid -> latest jpeg
+        # (keyed by Task.uid, not list index: removing a lower-index task
+        # shifts indices mid-run and would attach previews to the wrong task)
         self._logs: collections.deque = collections.deque(maxlen=MAX_LOG_LINES)
         self._lock = threading.RLock()
         self._thread: Optional[threading.Thread] = None
@@ -106,11 +108,8 @@ class GuiTaskManager:
                 return False
             if self.tasks[index].status == TaskStatus.PROCESSING:
                 return False  # reference disables removal of the active task
-            self.tasks.pop(index)
-            self._previews = {
-                (i if i < index else i - 1): v
-                for i, v in self._previews.items() if i != index
-            }
+            task = self.tasks.pop(index)
+            self._previews.pop(task.uid, None)
             return True
 
     def set_options(self, index: int,
@@ -163,6 +162,12 @@ class GuiTaskManager:
             with self._lock:
                 task = next((t for t in self.tasks
                              if t.status == TaskStatus.PENDING), None)
+                if task is not None:
+                    # claim it inside the lock so a concurrent remove() can't
+                    # pull it out from under the executor (it refuses to
+                    # remove PROCESSING tasks)
+                    task.status = TaskStatus.PROCESSING
+                    task.progress = 0
             if task is None:
                 break
             self._run_one(task)
@@ -179,7 +184,6 @@ class GuiTaskManager:
         return proc
 
     def _run_one(self, task: Task) -> None:
-        index = self.tasks.index(task)
         task.status = TaskStatus.PROCESSING
         task.progress = 0
         output = task.output_path or task.default_output_path()
@@ -196,7 +200,7 @@ class GuiTaskManager:
             lambda p: setattr(task, "output_path", p["output"]))
         channel.register(
             Command.UPDATE_PREVIEW,
-            lambda p: self._previews.__setitem__(index, p["jpeg"]))
+            lambda p: self._previews.__setitem__(task.uid, p["jpeg"]))
         channel.start()
 
         proc = self._spawn(task, output, channel.queue)
@@ -227,7 +231,10 @@ class GuiTaskManager:
                            "message": message})
 
     def preview_jpeg(self, index: int) -> Optional[bytes]:
-        return self._previews.get(index)
+        with self._lock:
+            if not (0 <= index < len(self.tasks)):
+                return None
+            return self._previews.get(self.tasks[index].uid)
 
     def state(self) -> Dict[str, Any]:
         with self._lock:
@@ -247,7 +254,7 @@ class GuiTaskManager:
                         "ab_sections": [
                             [r.start, r.stop] for r in t.options.ab_sections
                         ] if t.options.ab_sections else [],
-                        "has_preview": i in self._previews,
+                        "has_preview": t.uid in self._previews,
                     }
                     for i, t in enumerate(self.tasks)
                 ],

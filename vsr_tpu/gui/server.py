@@ -4,6 +4,12 @@ Serves the single-page app in index.html and a small API the page drives.
 Endpoint behaviors map one-to-one onto the reference GUI components — see
 vsr_tpu/gui/__init__.py for the component map. Binds 127.0.0.1 by default
 (a local tool, like the reference's desktop window).
+
+Cross-origin hardening: every /api/* request must carry a per-session random
+token (X-VSR-Token header, or ?token= for <img> URLs) that only the served
+page knows — a remote web page can neither read the token (same-origin
+policy on /) nor send the custom header without a CORS preflight we never
+answer. Requests with a mismatched Origin are rejected outright.
 """
 
 from __future__ import annotations
@@ -11,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import secrets
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -126,6 +133,7 @@ class GuiServer:
         cfg = config or (Config.load(config_path) if config_path else Config())
         self.manager = GuiTaskManager(cfg)
         self.frames = _FrameCache()
+        self.token = secrets.token_hex(16)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -154,13 +162,31 @@ class GuiServer:
                      urllib.parse.parse_qs(parsed.query).items()}
                 return parsed.path, q
 
+            def _authorized(self, q: Dict[str, str]) -> bool:
+                """Reject cross-origin requests on /api/*: the Origin (when a
+                browser sends one) must match our own host, and the request
+                must present the per-session token (header or query)."""
+                origin = self.headers.get("Origin")
+                if origin and origin not in (None, "null"):
+                    o = urllib.parse.urlparse(origin)
+                    if o.netloc != self.headers.get("Host", ""):
+                        return False
+                supplied = (self.headers.get("X-VSR-Token")
+                            or q.get("token") or "")
+                return secrets.compare_digest(supplied, server.token)
+
             # -- GET --
             def do_GET(self):
                 path, q = self._route()
+                if path.startswith("/api/") and not self._authorized(q):
+                    self._json({"error": "forbidden"}, 403)
+                    return
                 try:
                     if path in ("/", "/index.html"):
                         with open(_INDEX, "rb") as f:
-                            self._send(200, f.read(), "text/html; charset=utf-8")
+                            page = f.read().replace(
+                                b"__VSR_TOKEN__", server.token.encode())
+                            self._send(200, page, "text/html; charset=utf-8")
                     elif path == "/api/state":
                         self._json(server.manager.state())
                     elif path == "/api/config":
@@ -193,7 +219,10 @@ class GuiServer:
 
             # -- POST --
             def do_POST(self):
-                path, _ = self._route()
+                path, q = self._route()
+                if not self._authorized(q):
+                    self._json({"error": "forbidden"}, 403)
+                    return
                 try:
                     body = self._body()
                     if path == "/api/tasks":

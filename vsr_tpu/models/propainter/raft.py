@@ -170,17 +170,73 @@ def _lookup_level_patch(corr: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
             + wy * ((1 - wx) * v10 + wx * v11))
 
 
+def _lookup_level_onehot(corr: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                         r: int) -> jnp.ndarray:
+    """Bilinear window lookup as two one-hot contractions — zero gathers.
+
+    Same contract as _lookup_level_patch (corr [N, H, W]; cx/cy [N] ->
+    [N, (2r+1)^2], plane k = i*(2r+1) + j, X slowest). The taps of the
+    (2r+1)^2 window are integer-spaced around one fractional centroid, so
+    the whole bilinear lookup factorizes per query into
+        out[n] = (Wy[n])^T  @  corr[n]  @  Wx[n]
+    where Wx[n, w, i] = (1-fx)·[w == x0+i-r] + fx·[w == x0+i-r+1] holds the
+    x-weights of tap i (two nonzeros per column) and Wy likewise for rows.
+    Out-of-range corners match no index and contribute exactly the zero the
+    reference's zero-padding bilinear sampler produces (raft/corr.py:44 via
+    utils.bilinear_sampler).
+
+    Why: the row-wise patch gather this replaces is index-overhead-bound on
+    TPU (~0.6 s/pair at 240x1280 features, the profiled ProPainter
+    bottleneck of round 2); as one-hot weight construction (iota compares)
+    plus two dense batched matmuls the same math rides the MXU/VPU with
+    perfectly static shapes.
+    """
+    N, H, W = corr.shape
+    K = 2 * r + 1
+    dtype = corr.dtype
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0).astype(dtype)
+    fy = (cy - y0).astype(dtype)
+    taps = jnp.arange(K) - r
+
+    def onehot(c0f, frac, size):
+        # [N, size, K] bilinear selection weights along one axis
+        c0 = jnp.clip(c0f, -K - 2, size + K + 2).astype(jnp.int32)
+        base = c0[:, None, None] + taps[None, None, :]
+        idx = jnp.arange(size)[None, :, None]
+        return ((idx == base).astype(dtype) * (1 - frac)[:, None, None]
+                + (idx == base + 1).astype(dtype) * frac[:, None, None])
+
+    wx = onehot(x0, fx, W)                      # [N, W, K]
+    wy = onehot(y0, fy, H)                      # [N, H, K]
+    tmp = jnp.einsum("nhw,nwi->nhi", corr, wx,
+                     preferred_element_type=jnp.float32)   # x-interp first
+    out = jnp.einsum("nhi,nhj->nij", tmp.astype(dtype), wy,
+                     preferred_element_type=jnp.float32)   # [N, K_x, K_y]
+    return out.astype(dtype).reshape(N, K * K)
+
+
 def lookup_corr(
-    pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+    pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray, radius: int = 4,
+    method: str = "onehot",
 ) -> jnp.ndarray:
-    """coords: [B, h1, w1, 2] (x, y) -> [B, h1, w1, num_levels*(2r+1)^2]."""
+    """coords: [B, h1, w1, 2] (x, y) -> [B, h1, w1, num_levels*(2r+1)^2].
+
+    method: "onehot" (default; dense MXU contraction, no gathers) or
+    "patch" (contiguous-corner gather + static slicing, the round-2 path).
+    Both produce identical math (tests/test_convert_raft.py pins them to
+    each other and to the torch reference).
+    """
     B, h1, w1, _ = coords.shape
     flat = coords.reshape(B * h1 * w1, 2)
+    level_fn = (_lookup_level_onehot if method == "onehot"
+                else _lookup_level_patch)
     outs = []
     for i, corr in enumerate(pyramid):
         cx = flat[:, 0] / (2 ** i)
         cy = flat[:, 1] / (2 ** i)
-        sampled = _lookup_level_patch(corr[..., 0], cx, cy, radius)
+        sampled = level_fn(corr[..., 0], cx, cy, radius)
         outs.append(sampled.reshape(B, h1, w1, -1))
     return jnp.concatenate(outs, axis=-1)
 
@@ -282,11 +338,13 @@ class _RAFTStep(nn.Module):
     corr_radius: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    corr_lookup: str = "onehot"
 
     @nn.compact
     def __call__(self, carry, _):
         net, coords1, mask, pyramid, inp, coords0 = carry
-        corr = lookup_corr(list(pyramid), coords1, self.corr_radius)
+        corr = lookup_corr(list(pyramid), coords1, self.corr_radius,
+                           method=self.corr_lookup)
         flow = coords1 - coords0
         net, mask, delta = _BasicUpdateBlock(
             self.corr_planes, self.hidden, self.dtype, name="update"
@@ -314,6 +372,10 @@ class RAFT(nn.Module):
     # float32 restores bit-parity with the torch reference (the default the
     # parity tests pin).
     corr_dtype: jnp.dtype = jnp.float32
+    # "onehot": gather-free dense-contraction window lookup (default —
+    # the round-3 fix for the index-overhead-bound gather); "patch": the
+    # round-2 contiguous-corner gather path.
+    corr_lookup: str = "onehot"
 
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
@@ -343,7 +405,8 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             in_axes=0, out_axes=0,
             length=self.iters,
-        )(corr_planes, self.corr_radius, self.hidden, self.dtype, name="step")
+        )(corr_planes, self.corr_radius, self.hidden, self.dtype,
+          self.corr_lookup, name="step")
         (net, coords1, final_mask, *_), _ = scan(
             (net, coords0, mask0, pyramid, inp, coords0), None)
         flow_up = convex_upsample_flow(

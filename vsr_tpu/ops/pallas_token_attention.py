@@ -117,9 +117,13 @@ def flash_token_attention(
     to ~1e-3 in bf16 (tested in tests/test_pallas_attention.py).
 
     Token counts are padded internally — queries to a multiple of 8 (rows
-    sliced off the output), keys to a multiple of 128 with -1e9 bias (zero
-    attention weight) — so every block shape satisfies the (8, 128) Mosaic
-    tiling rule regardless of L-dependent N.
+    sliced off the output), keys to a multiple of 128 with a 2*NEG_INF bias
+    — so every block shape satisfies the (8, 128) Mosaic tiling rule
+    regardless of L-dependent N. The pad sentinel is strictly below the
+    caller's NEG_INF mask value so that even when EVERY real key is masked
+    (reachable in the det variant when all key patches exceed the hole-mean
+    threshold) the softmax still distributes over real keys only, matching
+    the XLA path instead of leaking weight onto zero-valued padded rows.
     """
     B, Nq, D = q.shape
     Nk = k.shape[1]
@@ -136,7 +140,7 @@ def flash_token_attention(
         v = jnp.pad(v, ((0, 0), (0, nk_pad - Nk), (0, 0)))
     key_bias = jnp.pad(key_bias.astype(jnp.float32),
                        ((0, 0), (0, nk_pad - Nk)),
-                       constant_values=NEG_INF)
+                       constant_values=2 * NEG_INF)
     qb = _divisor_block(nq_pad, q_block, 8)
     kb = _divisor_block(nk_pad, k_block, 128)
     bias = key_bias[:, None, :]

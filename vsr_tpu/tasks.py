@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import itertools
 import multiprocessing
 import os
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Tuple
+
+_task_uid = itertools.count()
 
 from vsr_tpu.config import Config
 from vsr_tpu.utils.process_manager import ProcessManager
@@ -43,6 +46,9 @@ class Task:
     status: TaskStatus = TaskStatus.PENDING
     progress: int = 0
     error: Optional[str] = None
+    # stable identity independent of queue position (list indices shift when
+    # lower-index tasks are removed mid-run)
+    uid: int = dataclasses.field(default_factory=lambda: next(_task_uid))
 
     @property
     def name(self) -> str:
