@@ -225,12 +225,95 @@ def install_reference(monkeypatch=None) -> None:
     try:
         import torchvision  # noqa: F401
     except ImportError:
+
+        class _Compose:
+            def __init__(self, transforms):
+                self.transforms = transforms
+
+            def __call__(self, x):
+                for t in self.transforms:
+                    x = t(x)
+                return x
+
         tv = types.ModuleType("torchvision")
         tv_ops = types.ModuleType("torchvision.ops")
         tv_models = types.ModuleType("torchvision.models")
+        tv_transforms = types.ModuleType("torchvision.transforms")
         tv_ops.deform_conv2d = torch_deform_conv2d
+        tv_transforms.Compose = _Compose
         tv.ops = tv_ops
         tv.models = tv_models
+        tv.transforms = tv_transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = tv_ops
         sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.transforms"] = tv_transforms
+    try:
+        import fsplit.filesplit  # noqa: F401
+    except ImportError:
+        # common_tools.py imports Filesplit for split-blob reassembly; the
+        # wrappers under test never touch it
+        fs = types.ModuleType("fsplit")
+        fs_inner = types.ModuleType("fsplit.filesplit")
+
+        class Filesplit:
+            def merge(self, *a, **k):
+                raise RuntimeError("Filesplit stub: not available in tests")
+
+        fs_inner.Filesplit = Filesplit
+        fs.filesplit = fs_inner
+        sys.modules["fsplit"] = fs
+        sys.modules["fsplit.filesplit"] = fs_inner
+
+
+class _ConfigItem:
+    def __init__(self, value):
+        self.value = value
+
+
+class _TrSection:
+    """configparser-section stand-in: returns the key itself."""
+
+    def __getitem__(self, key):
+        return key
+
+
+class _Tr:
+    def __getitem__(self, section):
+        return _TrSection()
+
+
+def install_backend_config() -> None:
+    """Install a ``backend.config`` stub module so reference modules that
+    import it (the real one drags in qfluentwidgets/Qt, absent here) can be
+    executed. Covers every config item the inpaint wrappers and tools read.
+    Idempotent; shared by test_differential_masks and test_e2e_reference_diff.
+    """
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    if "backend.config" in sys.modules:
+        return
+    backend_pkg = sys.modules.setdefault("backend", types.ModuleType("backend"))
+    if not hasattr(backend_pkg, "__path__"):
+        backend_pkg.__path__ = [f"{REFERENCE_ROOT}/backend"]
+    cfg_mod = types.ModuleType("backend.config")
+
+    class _Cfg:
+        subtitleAreaDeviationPixel = _ConfigItem(10)
+        sttnNeighborStride = _ConfigItem(5)
+        sttnReferenceLength = _ConfigItem(10)
+        sttnMaxLoadNum = _ConfigItem(50)
+        propainterMaxLoadNum = _ConfigItem(70)
+
+        def getSttnMaxLoadNum(self):
+            return max(
+                self.sttnMaxLoadNum.value,
+                self.sttnNeighborStride.value * self.sttnReferenceLength.value,
+            )
+
+    cfg_mod.config = _Cfg()
+    cfg_mod.tr = _Tr()
+    cfg_mod.BASE_DIR = f"{REFERENCE_ROOT}/backend"
+    cfg_mod.VERSION = "1.4.0"
+    sys.modules["backend.config"] = cfg_mod
+    backend_pkg.config = cfg_mod

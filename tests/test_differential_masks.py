@@ -8,37 +8,17 @@ pure functions the pipeline leans on (batch_generator, create_mask,
 expand_frame_ranges, is_frame_number_in_ab_sections).
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
-
-from tests.reference_compat import REFERENCE_ROOT
 
 
 @pytest.fixture(scope="module")
 def ref_tools():
     """Import reference inpaint_tools with backend.config stubbed (the real
-    one drags in qfluentwidgets/Qt, absent here; only
-    subtitleAreaDeviationPixel.value=10 is consumed)."""
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.append(REFERENCE_ROOT)
-    if "backend.config" not in sys.modules:
-        backend_pkg = types.ModuleType("backend")
-        backend_pkg.__path__ = [f"{REFERENCE_ROOT}/backend"]
-        sys.modules.setdefault("backend", backend_pkg)
-        cfg_mod = types.ModuleType("backend.config")
+    one drags in qfluentwidgets/Qt, absent here)."""
+    from tests.reference_compat import install_backend_config
 
-        class _Item:
-            def __init__(self, value):
-                self.value = value
-
-        class _Cfg:
-            subtitleAreaDeviationPixel = _Item(10)
-
-        cfg_mod.config = _Cfg()
-        sys.modules["backend.config"] = cfg_mod
+    install_backend_config()
     import importlib
 
     return importlib.import_module("backend.tools.inpaint_tools")
