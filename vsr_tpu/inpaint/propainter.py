@@ -344,9 +344,11 @@ class PropainterInpainter:
         flows_f, flows_b = self._compute_flows(frames_n)
         # 2) flow completion
         comp_f, comp_b = self._complete_flows(flows_f, flows_b, flow_masks)
+        del flows_f, flows_b, flow_masks  # free raw-flow HBM before the sweep
         # 3) image propagation
         updated_frames, updated_masks = self._propagate_images(
             frames_n, masks_dilated, comp_f, comp_b)
+        del frames_n  # the sweep reads rgb/updated_frames, not the fp32 stack
 
         # 4) windowed transformer + composite
         ref_num = self.sub_video_length // self.ref_stride if T > self.sub_video_length else -1
@@ -480,14 +482,17 @@ class PropainterInpainter:
         T = len(frames_bgr)
         rgb = np.stack([f[..., ::-1] for f in frames_bgr])
         rgb_dev = jnp.asarray(rgb)
-        frames_n = rgb_dev.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-        flow_masks = jnp.broadcast_to(
-            jnp.asarray(flow_mask, jnp.float32)[None, :, :, None],
-            (T, *flow_mask.shape, 1))
-        masks_dilated = jnp.broadcast_to(
-            jnp.asarray(mask_dilated, jnp.float32)[None, :, :, None],
-            (T, *mask_dilated.shape, 1))
-        return self._run_stages(rgb_dev, frames_n, flow_masks, masks_dilated)
+        # build the fp32 stack and masks inline (no local bindings) so
+        # _run_stages' dels actually release their HBM before the sweep
+        return self._run_stages(
+            rgb_dev,
+            rgb_dev.astype(jnp.float32) / 255.0 * 2.0 - 1.0,
+            jnp.broadcast_to(
+                jnp.asarray(flow_mask, jnp.float32)[None, :, :, None],
+                (T, *flow_mask.shape, 1)),
+            jnp.broadcast_to(
+                jnp.asarray(mask_dilated, jnp.float32)[None, :, :, None],
+                (T, *mask_dilated.shape, 1)))
 
     # ---- band video path (ref :363-418) ----
     def __call__(self, input_frames: List[np.ndarray], input_mask: np.ndarray) -> List[np.ndarray]:

@@ -61,10 +61,11 @@ def modulated_deform_conv(
     off_xy = offset[..., ::-1].astype(jnp.float32)
     coords = base[None, :, :, None, None, :] + taps[None, None, None, None, :, :] + off_xy
 
-    # fold groups into batch: x_g [B*G, H, W, cg]; coords_g [B*G, H*W*K, 2]
+    # fold groups into batch: x_g [B*G, H, W, cg]; coords_g [B*G, H*W, K, 2]
     x_g = x.reshape(B, H, W, G, cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, cg)
-    coords_g = coords.transpose(0, 3, 1, 2, 4, 5).reshape(B * G, H * W * K, 2)
-    samples = grid_sample_bilinear(x_g, coords_g)  # [B*G, H*W*K, cg]
+    coords_g = coords.transpose(0, 3, 1, 2, 4, 5).reshape(B * G, H * W, K, 2)
+    samples = grid_sample_bilinear(
+        x_g, coords_g.reshape(B * G, H * W * K, 2))  # [B*G, H*W*K, cg]
     samples = samples.reshape(B, G, H, W, K, cg)
 
     mod = modulation.transpose(0, 3, 1, 2, 4)  # [B, G, H, W, K]
