@@ -80,6 +80,9 @@ class Config:
 
     # ProPainter knobs (ref: backend/config.py:100)
     propainter_max_load_num: int = 70
+    # windows batched per generator call in the static sweep (device-time
+    # lever: fewer sequential propagation scans, better MXU utilization)
+    propainter_window_batch: int = 2
     propainter_neighbor_length: int = 10
     propainter_ref_stride: int = 10
     propainter_subvideo_length: int = 80
@@ -118,6 +121,7 @@ class Config:
         _clamp("sttn_reference_length", self.sttn_reference_length, 1, 100)
         _clamp("sttn_max_load_num", self.sttn_max_load_num, 1, 300)
         _clamp("propainter_max_load_num", self.propainter_max_load_num, 1, 300)
+        _clamp("propainter_window_batch", self.propainter_window_batch, 1, 8)
 
     # ref: backend/config.py:94 — clip gap must cover stride*ref_length
     def get_sttn_max_load_num(self) -> int:

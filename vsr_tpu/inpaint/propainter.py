@@ -296,48 +296,57 @@ class PropainterInpainter:
         dilated = dilate_mask(mask, self.mask_dilation)
         return self._inpaint_with_masks(frames_bgr, dilated, dilated)
 
+    @staticmethod
+    def _mask_rows(mask: np.ndarray):
+        rows = np.nonzero(np.asarray(mask).any(axis=1))[0]
+        if len(rows) == 0:
+            return None
+        return (int(rows[0]), int(rows[-1]) + 1)
+
     def _window_compose(self, params, updated_frames, comp_f, comp_b,
                         masks_dilated, updated_masks, rgb_u8, comp, written,
                         sel, pair_ids, valid, safe_neighbor_ids):
-        """One static window fully on device: gather -> generator ->
-        reference uint8 0.5/0.5 composite into ``comp``.
+        """A GROUP of static windows fully on device: batched generator ->
+        reference uint8 0.5/0.5 composites applied in window order.
 
-        comp/written carry T+1 rows; padded neighbor slots scatter into the
-        trash row T (duplicate scatter indices from repeated pad ids would
-        otherwise be order-undefined). Donated and threaded through the
-        per-window python loop — the only D2H of the whole stage is the
-        final composited video.
+        sel/valid [NW, L]; pair_ids [NW, n_max-1]; safe_neighbor_ids
+        [NW, n_max]. The generator is batch-independent so NW windows share
+        one forward (better MXU utilization, NW-fold fewer sequential scan
+        steps); the composite loop stays ordered because overlap blending is
+        order-dependent. comp/written carry T+1 rows; padded slots (and
+        whole dummy pad windows) scatter into the trash row T. Donated and
+        threaded through the group loop — the only D2H of the whole stage is
+        the final composited video.
         """
-        n_max = safe_neighbor_ids.shape[0]
-        vmask = valid[:, None, None, None].astype(updated_frames.dtype)
-        uf = updated_frames[sel][None]
-        m = (masks_dilated[sel] * vmask)[None]
-        mu = (updated_masks[sel] * vmask)[None]
-        pair_valid = (valid[: n_max - 1] & valid[1:n_max])
-        pv = pair_valid[:, None, None, None].astype(comp_f.dtype)
-        sel_flows = ((comp_f[pair_ids] * pv)[None],
-                     (comp_b[pair_ids] * pv)[None])
+        NW, n_max = safe_neighbor_ids.shape
+        vmask = valid[:, :, None, None, None].astype(updated_frames.dtype)
+        uf = updated_frames[sel]                      # [NW, L, H, W, C]
+        m = masks_dilated[sel] * vmask
+        mu = updated_masks[sel] * vmask
+        pair_valid = valid[:, : n_max - 1] & valid[:, 1:n_max]
+        pv = pair_valid[:, :, None, None, None].astype(comp_f.dtype)
+        sel_flows = (comp_f[pair_ids] * pv, comp_b[pair_ids] * pv)
         pred = self.generator.apply(params, uf, sel_flows, m, mu, n_max,
-                                    frame_valid=valid[None])[0]
+                                    frame_valid=valid)  # [NW, n_max, ...]
         pred_u8 = jnp.clip((pred + 1.0) / 2.0 * 255.0, 0, 255
                            ).astype(jnp.uint8)
 
-        nvalid = valid[:n_max]
-        ids = safe_neighbor_ids  # invalid slots already point at row T
-        bmask = masks_dilated[jnp.clip(ids, 0, rgb_u8.shape[0] - 1)
-                              ].astype(jnp.uint8)
-        img = pred_u8 * bmask + rgb_u8[jnp.clip(ids, 0, rgb_u8.shape[0] - 1)
-                                       ] * (1 - bmask)
-        prev = comp[ids]
-        w = written[ids][:, None, None, None]
-        blended = (prev.astype(jnp.float32) * 0.5
-                   + img.astype(jnp.float32) * 0.5).astype(jnp.uint8)
-        new = jnp.where(w, blended, img)
-        comp = comp.at[ids].set(new)
-        written = written.at[ids].set(written[ids] | nvalid)
+        for w in range(NW):
+            nvalid = valid[w, :n_max]
+            ids = safe_neighbor_ids[w]  # invalid slots point at row T
+            cl = jnp.clip(ids, 0, rgb_u8.shape[0] - 1)
+            bmask = masks_dilated[cl].astype(jnp.uint8)
+            img = pred_u8[w] * bmask + rgb_u8[cl] * (1 - bmask)
+            prev = comp[ids]
+            wr = written[ids][:, None, None, None]
+            blended = (prev.astype(jnp.float32) * 0.5
+                       + img.astype(jnp.float32) * 0.5).astype(jnp.uint8)
+            comp = comp.at[ids].set(jnp.where(wr, blended, img))
+            written = written.at[ids].set(written[ids] | nvalid)
         return comp, written
 
-    def _run_stages(self, rgb, frames_n, flow_masks, masks_dilated) -> List[np.ndarray]:
+    def _run_stages(self, rgb, frames_n, flow_masks, masks_dilated,
+                    frames_bgr=None, out_rows=None) -> List[np.ndarray]:
         T = len(frames_n)
 
         # 1) optical flow (fp32)
@@ -368,22 +377,32 @@ class PropainterInpainter:
         if self.static_windows:
             return self._run_windows_static(
                 rgb, masks_dilated, updated_frames, updated_masks,
-                comp_f, comp_b, windows, n_max, r_max, T)
+                comp_f, comp_b, windows, n_max, r_max, T,
+                frames_bgr=frames_bgr, out_rows=out_rows)
         return self._run_windows_dynamic(
             rgb, masks_dilated, updated_frames, updated_masks,
             comp_f, comp_b, windows, T)
 
     def _run_windows_static(self, rgb, masks_dilated, updated_frames,
                             updated_masks, comp_f, comp_b, windows,
-                            n_max, r_max, T) -> List[np.ndarray]:
+                            n_max, r_max, T, frames_bgr=None,
+                            out_rows=None) -> List[np.ndarray]:
         """Device-resident window sweep: one jitted program per clip shape,
-        single D2H of the composited clip."""
+        single D2H of the composited clip.
+
+        With ``out_rows`` (the dilated mask's row extent) and the original
+        host ``frames_bgr``, only those rows are fetched: outside the dilated
+        mask the composite equals the source exactly (pred*mask +
+        rgb*(1-mask), and the 0.5/0.5 blend of two identical uint8 values is
+        the identity), so the host reassembles full frames from the originals
+        — the tunnel D2H runs at ~60 MB/s and the band is mostly unmasked
+        rows."""
         rgb_u8 = jnp.asarray(rgb)
         masks_dilated = jnp.asarray(masks_dilated)
         H, W = rgb.shape[1:3]
         comp = jnp.zeros((T + 1, H, W, 3), jnp.uint8)
         written = jnp.zeros((T + 1,), bool)
-        for neighbor_ids, ref_ids in windows:
+        def window_arrays(neighbor_ids, ref_ids):
             n_pad = n_max - len(neighbor_ids)
             r_pad = r_max - len(ref_ids)
             sel = np.asarray(neighbor_ids + [neighbor_ids[-1]] * n_pad
@@ -396,11 +415,34 @@ class PropainterInpainter:
                 + [neighbor_ids[-1] - 1] * n_pad, np.int32)[: n_max - 1]
             safe_ids = np.asarray(
                 neighbor_ids + [T] * n_pad, np.int32)  # pads -> trash row
+            return sel, valid, pair_ids, safe_ids
+
+        # WB windows share one batched generator call; the group tail pads
+        # with dummy all-invalid windows (every row -> trash row T)
+        WB = max(1, int(getattr(self.config, "propainter_window_batch", 2)))
+        dummy = (np.zeros(n_max + r_max, np.int32),
+                 np.zeros(n_max + r_max, bool),
+                 np.zeros(n_max - 1, np.int32),
+                 np.full(n_max, T, np.int32))
+        for g in range(0, len(windows), WB):
+            group = [window_arrays(*w) for w in windows[g : g + WB]]
+            group += [dummy] * (WB - len(group))
+            sel, valid, pair_ids, safe_ids = (
+                np.stack([gr[i] for gr in group]) for i in range(4))
             comp, written = self._window_compose_fn(
                 self.gen_params, updated_frames, comp_f, comp_b,
                 masks_dilated, updated_masks, rgb_u8, comp, written,
                 jnp.asarray(sel), jnp.asarray(pair_ids), jnp.asarray(valid),
                 jnp.asarray(safe_ids))
+        if out_rows is not None and frames_bgr is not None:
+            r0, r1 = out_rows
+            rows = np.asarray(comp[:T, r0:r1])  # the stage's single D2H
+            res = []
+            for j in range(T):
+                f = frames_bgr[j].copy()
+                f[r0:r1] = rows[j][..., ::-1]
+                res.append(f)
+            return res
         out = np.asarray(comp[:T])  # the stage's single D2H
         return [f for f in out[..., ::-1]]  # RGB->BGR
 
@@ -492,7 +534,9 @@ class PropainterInpainter:
                 (T, *flow_mask.shape, 1)),
             jnp.broadcast_to(
                 jnp.asarray(mask_dilated, jnp.float32)[None, :, :, None],
-                (T, *mask_dilated.shape, 1)))
+                (T, *mask_dilated.shape, 1)),
+            frames_bgr=frames_bgr,
+            out_rows=self._mask_rows(mask_dilated))
 
     # ---- band video path (ref :363-418) ----
     def __call__(self, input_frames: List[np.ndarray], input_mask: np.ndarray) -> List[np.ndarray]:

@@ -217,7 +217,7 @@ class _FeatSweepStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, xs):
-        feat_prop, step = carry
+        feat_prop, step = carry  # step: [B] per-window step counter
         feat_current, mask_current, flow_prop, flow_check, step_valid = xs
         valid = fb_consistency_check(flow_prop, flow_check)
         feat_warped = flow_warp(feat_prop, flow_prop)
@@ -226,14 +226,15 @@ class _FeatSweepStep(nn.Module):
         aligned = DeformableAlignment(
             self.channels, dtype=self.dtype, name="align")(
                 feat_prop, cond, flow_prop)
-        new_prop = jnp.where(step > 0, aligned, feat_current)
+        bcast = lambda v: v[:, None, None, None]
+        new_prop = jnp.where(bcast(step > 0), aligned, feat_current)
         feat = jnp.concatenate([feat_current, new_prop, mask_current], axis=-1)
         y = _lrelu(_conv(self.channels, dtype=self.dtype, name="bb0")(feat))
         y = _conv(self.channels, dtype=self.dtype, name="bb1")(y)
         new_prop = new_prop + y
         # padded (invalid) steps pass the carry through untouched so they
         # neither pollute the recurrent state nor advance the step counter
-        feat_prop_next = jnp.where(step_valid, new_prop, feat_prop)
+        feat_prop_next = jnp.where(bcast(step_valid), new_prop, feat_prop)
         step_next = step + step_valid.astype(step.dtype)
         return (feat_prop_next, step_next), new_prop
 
@@ -251,12 +252,15 @@ class FeaturePropagation(nn.Module):
         """x [B, T, H, W, C]; flows_* [B, T-1, H, W, 2];
         masks [B, T, H, W, 2] (mask_in, mask_updated) — the full 2-channel
         mask feeds the alignment cond, the backbone AND the fuse (ref
-        propainter.py:46,90,154,168,186). frame_valid: [T] bool — padded
-        frames pass the recurrent state through untouched."""
+        propainter.py:46,90,154,168,186). frame_valid: [B, T] (or [T]) bool —
+        padded frames pass that window's recurrent state through untouched
+        (per-batch: batched windows pad independently)."""
         B, T, H, W, C = x.shape
         mask_current = masks
         if frame_valid is None:
-            frame_valid = jnp.ones((T,), bool)
+            frame_valid = jnp.ones((B, T), bool)
+        elif frame_valid.ndim == 1:
+            frame_valid = jnp.broadcast_to(frame_valid[None], (B, T))
 
         def run(name, seq_x, seq_m, flows_prop, flows_check, reverse):
             scan = nn.scan(
@@ -270,15 +274,17 @@ class FeaturePropagation(nn.Module):
                 seq_m = seq_m[:, ::-1]
                 flows_prop = flows_prop[:, ::-1]
                 flows_check = flows_check[:, ::-1]
-                fv = fv[::-1]
+                fv = fv[:, ::-1]
             sx = seq_x.transpose(1, 0, 2, 3, 4)
             sm = seq_m.transpose(1, 0, 2, 3, 4)
             fp = flows_prop.transpose(1, 0, 2, 3, 4)
             fc = flows_check.transpose(1, 0, 2, 3, 4)
+            fv = fv.transpose(1, 0)  # [T, B]
             pad = jnp.zeros_like(fp[:1])
             fp = jnp.concatenate([pad, fp], axis=0)
             fc = jnp.concatenate([pad, fc], axis=0)
-            init = (jnp.zeros((B, H, W, C), x.dtype), jnp.zeros((), jnp.int32))
+            init = (jnp.zeros((B, H, W, C), x.dtype),
+                    jnp.zeros((B,), jnp.int32))
             _, out = scan(init, (sx, sm, fp, fc, fv))
             out = out.transpose(1, 0, 2, 3, 4)
             return out[:, ::-1] if reverse else out
@@ -624,7 +630,7 @@ class ProPainterGenerator(nn.Module):
 
         prop_mask = jnp.concatenate(
             [ds_mask_in_local, ds_mask_updated_local], axis=-1).astype(self.dtype)
-        local_valid = frame_valid[0, :l_t] if frame_valid is not None else None
+        local_valid = frame_valid[:, :l_t] if frame_valid is not None else None
         local_feat = self.feat_prop_module(
             local_feat, ds_flows_f, ds_flows_b, prop_mask,
             frame_valid=local_valid)
