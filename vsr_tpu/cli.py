@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "see vsr_tpu.i18n.available_locales())")
     parser.add_argument("--check-update", action="store_true",
                         help="Query the latest release and exit")
+    parser.add_argument(
+        "--warmup", nargs="*", metavar="MODE", default=None,
+        help="Precompile the standard programs into the on-disk executable "
+             "cache and exit; optional mode list (default: sttn-auto "
+             "sttn-det lama). Add 'propainter' explicitly (long compiles).")
+    parser.add_argument(
+        "--warmup-sizes", action="append", nargs=2, type=int,
+        metavar=("H", "W"),
+        help="Frame sizes to warm (repeatable; default 480p/720p/1080p)")
     parser.add_argument("--gui", action="store_true",
                         help="Launch the browser GUI instead of processing "
                              "(equivalent to python -m vsr_tpu.gui)")
@@ -67,6 +76,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                   f"{info['tag']} ({info['url']})")
         else:
             print(f"vsr_tpu {__version__}: up to date ({info['tag']})")
+        return 0
+    if args.warmup is not None:
+        from vsr_tpu.warmup import DEFAULT_MODES, DEFAULT_SIZES, warmup
+
+        cfg = Config.load(args.config or DEFAULT_CONFIG_PATH)
+        warmup(
+            modes=args.warmup or DEFAULT_MODES,
+            sizes=[tuple(s) for s in (args.warmup_sizes or DEFAULT_SIZES)],
+            checkpoint_dir=args.models,
+            config=cfg,
+        )
         return 0
     if args.gui:
         from vsr_tpu.gui.server import GuiServer

@@ -29,6 +29,21 @@ from vsr_tpu.models.lama import LamaGenerator
 MINI_BATCH = 4  # ref :38
 
 
+def pad_bucket() -> int:
+    """Shape-bucket granularity for padded inputs.
+
+    The reference pads to modulo 8 (lama_util.py:59), which makes every
+    distinct image size its own XLA program — a ~280 s cold compile per new
+    size on the axon service (parity_results_r2 config1). Padding to modulo
+    64 instead collapses sizes into few buckets a `--warmup` run can
+    precompile, at the cost of up to 63 extra mirrored border pixels seen by
+    the (global-FFT) model. VSR_LAMA_BUCKET=8 restores the exact reference
+    padding."""
+    import os
+
+    return int(os.environ.get("VSR_LAMA_BUCKET", "64"))
+
+
 def pad_to_modulo(arr: np.ndarray, mod: int = 8) -> np.ndarray:
     """Bottom/right symmetric-reflection pad to the next multiple — matching
     the reference's np.pad(mode='symmetric') exactly
@@ -74,9 +89,10 @@ class LamaInpainter:
     def _dispatch_batch(self, images: List[np.ndarray], masks: List[np.ndarray]):
         """Async-dispatch one padded batch; returns (handle, orig_h, orig_w)."""
         orig_h, orig_w = images[0].shape[:2]
-        img = np.stack([pad_to_modulo(im, 8) for im in images])
+        bucket = pad_bucket()
+        img = np.stack([pad_to_modulo(im, bucket) for im in images])
         msk = np.stack([
-            pad_to_modulo(np.asarray(m).squeeze()[..., None], 8)
+            pad_to_modulo(np.asarray(m).squeeze()[..., None], bucket)
             for m in masks
         ])
         out = self._forward(self.params, jnp.asarray(img), jnp.asarray(msk))
