@@ -53,21 +53,10 @@ class FlowTrainState(struct.PyTreeNode):
     opt: Any
 
 
-def flow_edges_host(flows: np.ndarray, thresh: float = 0.1) -> np.ndarray:
-    """[.., H, W, 2] flow -> [.., H, W, 1] binary edge targets via Sobel
-    magnitude of the flow field (host-side; replaces in-graph Canny)."""
-    import cv2
-
-    shape = flows.shape
-    flat = flows.reshape(-1, *shape[-3:])
-    edges = []
-    for f in flat:
-        gx = cv2.Sobel(f, cv2.CV_32F, 1, 0, ksize=3)
-        gy = cv2.Sobel(f, cv2.CV_32F, 0, 1, ksize=3)
-        mag = np.sqrt((gx ** 2 + gy ** 2).sum(-1))
-        mag = mag / (mag.max() + 1e-6)
-        edges.append((mag > thresh).astype(np.float32))
-    return np.stack(edges).reshape(*shape[:-1], 1)
+# Canny edge targets matching the reference trainer's get_edges exactly
+# (trainer_flow_w_edge.py:261-273) — host-side since targets take no
+# gradients; parity vs the executed reference torch Canny is tested
+from vsr_tpu.train.canny import flow_edges_host  # noqa: F401  (re-export)
 
 
 def make_flow_train_step(
