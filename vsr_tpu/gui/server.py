@@ -187,6 +187,12 @@ class GuiServer:
                             page = f.read().replace(
                                 b"__VSR_TOKEN__", server.token.encode())
                             self._send(200, page, "text/html; charset=utf-8")
+                    elif path == "/selection.js":
+                        js = os.path.join(os.path.dirname(_INDEX),
+                                          "selection.js")
+                        with open(js, "rb") as f:
+                            self._send(200, f.read(),
+                                       "application/javascript")
                     elif path == "/api/state":
                         self._json(server.manager.state())
                     elif path == "/api/config":
