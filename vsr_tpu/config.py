@@ -80,9 +80,10 @@ class Config:
 
     # ProPainter knobs (ref: backend/config.py:100)
     propainter_max_load_num: int = 70
-    # windows batched per generator call in the static sweep (device-time
-    # lever: fewer sequential propagation scans, better MXU utilization)
-    propainter_window_batch: int = 2
+    # windows batched per generator call in the static sweep. Measured on the
+    # v5e 720p band: 1 wins (1.78 fps vs 1.57 at 2, 1.43 at 4) — the window
+    # program is already compute-dense, batching just grows the working set
+    propainter_window_batch: int = 1
     propainter_neighbor_length: int = 10
     propainter_ref_stride: int = 10
     propainter_subvideo_length: int = 80
