@@ -176,6 +176,13 @@ class PropainterInpainter:
             lambda p, fr, fl, m, mu, lt, fv: self.generator.apply(
                 p, fr, fl, m, mu, lt, frame_valid=fv),
             static_argnums=(5,))
+        # whole-clip per-frame encoding (window-independent): lets the
+        # static sweep encode each frame once instead of re-encoding every
+        # window's frame set (typ. ~3x fewer encoder frame passes at
+        # stride 5 / window 11 + refs)
+        self._encode_fn = cached_jit(
+            lambda p, fr, m, mu: self.generator.apply(
+                p, fr, m, mu, method="encode"))
         # static-window device sweep: generator + composite in one program,
         # comp/written buffers donated across the window loop
         self._window_compose_fn = cached_jit(
@@ -303,12 +310,16 @@ class PropainterInpainter:
             return None
         return (int(rows[0]), int(rows[-1]) + 1)
 
-    def _window_compose(self, params, updated_frames, comp_f, comp_b,
+    def _window_compose(self, params, enc_all, comp_f, comp_b,
                         masks_dilated, updated_masks, rgb_u8, comp, written,
                         sel, pair_ids, valid, safe_neighbor_ids):
         """A GROUP of static windows fully on device: batched generator ->
         reference uint8 0.5/0.5 composites applied in window order.
 
+        enc_all [1, T, h, w, C] is the whole-clip per-frame encoding
+        (encode once, gather per window — the encoder input is
+        window-independent, so valid-slot numerics are unchanged; invalid
+        slots were garbage-excluded via frame_valid before and still are).
         sel/valid [NW, L]; pair_ids [NW, n_max-1]; safe_neighbor_ids
         [NW, n_max]. The generator is batch-independent so NW windows share
         one forward (better MXU utilization, NW-fold fewer sequential scan
@@ -319,15 +330,16 @@ class PropainterInpainter:
         the final composited video.
         """
         NW, n_max = safe_neighbor_ids.shape
-        vmask = valid[:, :, None, None, None].astype(updated_frames.dtype)
-        uf = updated_frames[sel]                      # [NW, L, H, W, C]
+        vmask = valid[:, :, None, None, None].astype(masks_dilated.dtype)
+        enc = enc_all[0][sel]                         # [NW, L, h, w, C]
         m = masks_dilated[sel] * vmask
         mu = updated_masks[sel] * vmask
         pair_valid = valid[:, : n_max - 1] & valid[:, 1:n_max]
         pv = pair_valid[:, :, None, None, None].astype(comp_f.dtype)
         sel_flows = (comp_f[pair_ids] * pv, comp_b[pair_ids] * pv)
-        pred = self.generator.apply(params, uf, sel_flows, m, mu, n_max,
-                                    frame_valid=valid)  # [NW, n_max, ...]
+        pred = self.generator.apply(params, enc, sel_flows, m, mu, n_max,
+                                    frame_valid=valid,
+                                    method="forward_encoded")  # [NW, n_max, ...]
         pred_u8 = jnp.clip((pred + 1.0) / 2.0 * 255.0, 0, 255
                            ).astype(jnp.uint8)
 
@@ -400,6 +412,13 @@ class PropainterInpainter:
         rgb_u8 = jnp.asarray(rgb)
         masks_dilated = jnp.asarray(masks_dilated)
         H, W = rgb.shape[1:3]
+        # encode every clip frame ONCE (the encoder reads only per-frame
+        # inputs); windows gather rows of enc_all below. Frees the fp32
+        # frame stack before the sweep — the sweep never touches frames.
+        enc_all = self._encode_fn(
+            self.gen_params, updated_frames[None], masks_dilated[None],
+            updated_masks[None])
+        del updated_frames
         comp = jnp.zeros((T + 1, H, W, 3), jnp.uint8)
         written = jnp.zeros((T + 1,), bool)
         def window_arrays(neighbor_ids, ref_ids):
@@ -430,7 +449,7 @@ class PropainterInpainter:
             sel, valid, pair_ids, safe_ids = (
                 np.stack([gr[i] for gr in group]) for i in range(4))
             comp, written = self._window_compose_fn(
-                self.gen_params, updated_frames, comp_f, comp_b,
+                self.gen_params, enc_all, comp_f, comp_b,
                 masks_dilated, updated_masks, rgb_u8, comp, written,
                 jnp.asarray(sel), jnp.asarray(pair_ids), jnp.asarray(valid),
                 jnp.asarray(safe_ids))

@@ -584,6 +584,18 @@ class ProPainterGenerator(nn.Module):
         x = _lrelu(self.dec_deconv1(x))
         return jnp.tanh(self.dec_conv2(x))
 
+    def encode(self, masked_frames, masks_in, masks_updated):
+        """Per-frame conv encoding, window-independent: [B, T, H, W, 3+1+1]
+        -> [B, T, H/4, W/4, channel]. Split out of __call__ so the window
+        sweep can encode each clip frame ONCE and gather encodings per
+        window (the reference re-encodes every window's frame set,
+        propainter.py:337 within the :327-358 loop)."""
+        B, T, H, W, _ = masked_frames.shape
+        x = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)
+        enc = self.encoder(x.reshape(B * T, H, W, 5).astype(self.dtype))
+        h, w = enc.shape[1:3]
+        return enc.reshape(B, T, h, w, self.channel)
+
     def __call__(self, masked_frames, completed_flows, masks_in, masks_updated,
                  num_local_frames: int, t_dilation: int = 2,
                  frame_valid=None):
@@ -595,12 +607,20 @@ class ProPainterGenerator(nn.Module):
         and pass propagation state through; their outputs are garbage the
         caller discards. Returns inpainted local frames [B, lt, H, W, 3].
         """
+        enc = self.encode(masked_frames, masks_in, masks_updated)
+        return self.forward_encoded(enc, completed_flows, masks_in,
+                                    masks_updated, num_local_frames,
+                                    t_dilation, frame_valid)
+
+    def forward_encoded(self, enc, completed_flows, masks_in, masks_updated,
+                        num_local_frames: int, t_dilation: int = 2,
+                        frame_valid=None):
+        """Post-encoder forward: enc [B, T, h, w, channel] from encode().
+        Numerically identical to __call__ given matching inputs — the
+        encoder is the only stage that reads the frames themselves."""
         l_t = num_local_frames
-        B, T, H, W, _ = masked_frames.shape
-        x = jnp.concatenate([masked_frames, masks_in, masks_updated], axis=-1)
-        enc = self.encoder(x.reshape(B * T, H, W, 5).astype(self.dtype))
-        h, w = enc.shape[1:3]
-        enc = enc.reshape(B, T, h, w, self.channel)
+        B, T, H, W, _ = masks_in.shape
+        h, w = enc.shape[2:4]
         local_feat, ref_feat = enc[:, :l_t], enc[:, l_t:]
 
         # 1/4-scale flows. torch F.interpolate(bilinear, align_corners=False,
