@@ -664,9 +664,12 @@ class ProPainterGenerator(nn.Module):
             tokens = block(tokens, (h, w), mask_pool,
                            t_inds[i % t_dilation], frame_valid)
 
-        comp = self.sc(tokens.reshape(B * T, fh, fw, self.hidden), (h, w))
-        enc = enc + comp.reshape(B, T, h, w, self.channel)
-
-        local = enc[:, :l_t].reshape(B * l_t, h, w, self.channel)
+        # soft-comp only the local tokens: the decoder consumes enc[:, :l_t]
+        # alone, so sc on reference-frame tokens is dead compute (the
+        # reference computes it too, propainter.py:178-180, then discards it)
+        comp = self.sc(tokens[:, :l_t].reshape(B * l_t, fh, fw, self.hidden),
+                       (h, w))
+        local = (enc[:, :l_t] + comp.reshape(B, l_t, h, w, self.channel)
+                 ).reshape(B * l_t, h, w, self.channel)
         out = self.decode(local)
         return out.reshape(B, l_t, H, W, 3).astype(jnp.float32)
