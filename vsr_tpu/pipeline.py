@@ -325,9 +325,14 @@ class SubtitleRemover:
                     index += 1
                     frames.append(frame)
                 start_no = index - len(frames) + 1
+                # start_no is always a sub_list key: collection only begins
+                # on detected frames, and ranges are runs of consecutive keys
+                # (scene splits restart within a run). Index directly like
+                # the reference (main.py:229) so a timeline-builder bug
+                # surfaces as a KeyError instead of a silently-wrong mask.
                 mask = create_mask(
                     self.mask_size,
-                    sub_list.get(start_no, sub_list[min(sub_list.keys(), key=lambda k: abs(k - start_no))]),
+                    sub_list[start_no],
                     self.config.subtitle_area_deviation_pixel,
                 )
                 if len(frames) == 1:
