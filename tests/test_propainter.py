@@ -76,6 +76,34 @@ class TestRAFTComponents:
         assert up.shape == (1, 32, 48, 2)
         np.testing.assert_allclose(up[:, 8:24, 8:40], 12.0, atol=1e-4)
 
+    def test_encode_once_matches_call(self):
+        """encode() + forward_encoded() must reproduce __call__ exactly, and
+        raft_bi_flows (whole-clip encode-once) must match per-pair __call__ —
+        the wrapper's flow stage relies on this equivalence."""
+        raft = RAFT(iters=3, corr_levels=2, corr_radius=2)
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 48, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (2, 32, 48, 3)).astype(np.float32))
+        params = raft.init(jax.random.PRNGKey(0), a, b)
+        ref = np.asarray(raft.apply(params, a, b))
+        f1, net, inp = raft.apply(params, a, method="encode")
+        f2, _, _ = raft.apply(params, b, method="encode")
+        out = np.asarray(raft.apply(params, f1, f2, net, inp,
+                                    method="forward_encoded"))
+        np.testing.assert_array_equal(ref, out)
+
+        frames = jnp.stack([a[0], b[0], a[1], b[1]])[None]  # [1, 4, H, W, 3]
+        ff, fb = raft_bi_flows(raft, params, frames)
+        for t in range(3):
+            np.testing.assert_allclose(
+                np.asarray(ff[0, t]),
+                np.asarray(raft.apply(params, frames[:, t], frames[:, t + 1])
+                           )[0], rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(fb[0, t]),
+                np.asarray(raft.apply(params, frames[:, t + 1], frames[:, t])
+                           )[0], rtol=1e-5, atol=1e-5)
+
     def test_raft_zero_motion(self):
         """Identical frames -> near-zero flow (even with random weights the
         correlation argmax is at zero displacement; flow stays tiny)."""

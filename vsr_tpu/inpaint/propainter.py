@@ -162,8 +162,11 @@ class PropainterInpainter:
 
         from vsr_tpu.utils.exec_cache import cached_jit
 
-        self._raft_pair_fn = cached_jit(
-            lambda p, a, b: self.raft.apply(p, a, b))
+        self._raft_encode_fn = cached_jit(
+            lambda p, x: self.raft.apply(p, x, method="encode"))
+        self._raft_flow_fn = cached_jit(
+            lambda p, f1, f2, net, inp: self.raft.apply(
+                p, f1, f2, net, inp, method="forward_encoded"))
         self._flow_complete_fn = cached_jit(self._flow_complete)
         self._img_prop_fn = cached_jit(image_propagation)
         # static window scheduling: pad every window to one shape per clip
@@ -212,20 +215,30 @@ class PropainterInpainter:
         n_chunks = max(1, math.ceil(n_pairs / cap))
         clip = math.ceil(n_pairs / n_chunks)
         frames_n = jnp.asarray(frames_n)
+        # encode every frame ONCE (fnet+cnet are pair-independent); the
+        # chunked pair loop below then runs only the iterative GRU stage.
+        # Per-pair-per-direction RAFT re-encoded image1+image2, so interior
+        # frames passed through fnet 4x and cnet 2x before this split.
+        fmap, net, inp = self._raft_encode_fn(self.raft_params, frames_n)
         f_list, b_list = [], []
+
+        def pad_tail(x, n):
+            return (x if n == clip
+                    else jnp.concatenate([x, jnp.repeat(x[-1:], clip - n, 0)]))
+
         # chunk into fixed-size pair batches (pad tail) for stable compiles
-        pairs_a = frames_n[:-1]
-        pairs_b = frames_n[1:]
         for s in range(0, n_pairs, clip):
-            a = pairs_a[s : s + clip]
-            b = pairs_b[s : s + clip]
-            n = a.shape[0]
-            if n < clip:
-                pad = jnp.repeat(a[-1:], clip - n, axis=0)
-                a = jnp.concatenate([a, pad])
-                b = jnp.concatenate([b, jnp.repeat(b[-1:], clip - n, axis=0)])
-            f_list.append(self._raft_pair_fn(self.raft_params, a, b)[:n])
-            b_list.append(self._raft_pair_fn(self.raft_params, b, a)[:n])
+            e = min(s + clip, n_pairs)
+            n = e - s
+            fa, fb = pad_tail(fmap[s:e], n), pad_tail(fmap[s + 1 : e + 1], n)
+            # forward pair (i -> i+1): context of frame i; backward: of i+1
+            f_list.append(self._raft_flow_fn(
+                self.raft_params, fa, fb,
+                pad_tail(net[s:e], n), pad_tail(inp[s:e], n))[:n])
+            b_list.append(self._raft_flow_fn(
+                self.raft_params, fb, fa,
+                pad_tail(net[s + 1 : e + 1], n),
+                pad_tail(inp[s + 1 : e + 1], n))[:n])
         if len(f_list) == 1:
             return f_list[0], b_list[0]
         return jnp.concatenate(f_list), jnp.concatenate(b_list)

@@ -377,41 +377,57 @@ class RAFT(nn.Module):
     # round-2 contiguous-corner gather path.
     corr_lookup: str = "onehot"
 
-    @nn.compact
-    def __call__(self, image1, image2, train: bool = False):
-        B, H, W, _ = image1.shape
-        h, w = H // 8, W // 8
-        fnet = BasicEncoder(256, "instance", self.dtype, name="fnet")
-        cnet = BasicEncoder(self.hidden + self.context, "batch", self.dtype,
-                            name="cnet")
-        fmap1 = fnet(image1, train).astype(jnp.float32)
-        fmap2 = fnet(image2, train).astype(jnp.float32)
-        pyramid = tuple(
-            c.astype(self.corr_dtype)
-            for c in build_corr_pyramid(fmap1, fmap2, self.corr_levels))
-
-        ctx = cnet(image1, train)
-        net = jnp.tanh(ctx[..., : self.hidden])
-        inp = nn.relu(ctx[..., self.hidden :])
-
-        ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-        coords0 = jnp.stack([xs, ys], -1).astype(jnp.float32)[None].repeat(B, 0)
-        mask0 = jnp.zeros((B, h, w, 64 * 9), self.dtype)
-
+    def setup(self):
+        self.fnet = BasicEncoder(256, "instance", self.dtype)
+        self.cnet = BasicEncoder(self.hidden + self.context, "batch",
+                                 self.dtype)
         corr_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        scan = nn.scan(
+        self.step = nn.scan(
             _RAFTStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0, out_axes=0,
             length=self.iters,
         )(corr_planes, self.corr_radius, self.hidden, self.dtype,
-          self.corr_lookup, name="step")
-        (net, coords1, final_mask, *_), _ = scan(
+          self.corr_lookup)
+
+    def encode(self, images, train: bool = False):
+        """Per-frame encodings, pair-independent: [B, H, W, 3] in [-1, 1] ->
+        (fmap fp32 [B, H/8, W/8, 256], net, inp [B, H/8, W/8, hidden/ctx]).
+
+        Split out of __call__ so a video clip can encode each frame ONCE:
+        in consecutive-pair bidirectional flow (raft_bi_flows / the
+        ProPainter wrapper) every interior frame otherwise passes through
+        fnet 4x (as image1/image2 of the forward and backward pair) and
+        cnet 2x. The reference re-encodes per pair per direction
+        (raft/raft.py:103-118 called from flow_comp_raft.py:40-55)."""
+        fmap = self.fnet(images, train).astype(jnp.float32)
+        ctx = self.cnet(images, train)
+        net = jnp.tanh(ctx[..., : self.hidden])
+        inp = nn.relu(ctx[..., self.hidden :])
+        return fmap, net, inp
+
+    def forward_encoded(self, fmap1, fmap2, net, inp):
+        """Iterative flow from precomputed encodings: fmap1/fmap2 from
+        encode(); (net, inp) are image1's context. Returns [B, 8h, 8w, 2]."""
+        B, h, w, _ = fmap1.shape
+        pyramid = tuple(
+            c.astype(self.corr_dtype)
+            for c in build_corr_pyramid(fmap1, fmap2, self.corr_levels))
+
+        ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        coords0 = jnp.stack([xs, ys], -1).astype(jnp.float32)[None].repeat(B, 0)
+        mask0 = jnp.zeros((B, h, w, 64 * 9), self.dtype)
+
+        (net, coords1, final_mask, *_), _ = self.step(
             (net, coords0, mask0, pyramid, inp, coords0), None)
-        flow_up = convex_upsample_flow(
+        return convex_upsample_flow(
             (coords1 - coords0), final_mask.astype(jnp.float32))
-        return flow_up
+
+    def __call__(self, image1, image2, train: bool = False):
+        fmap1, net, inp = self.encode(image1, train)
+        fmap2 = self.fnet(image2, train).astype(jnp.float32)
+        return self.forward_encoded(fmap1, fmap2, net, inp)
 
 
 def raft_bi_flows(raft: RAFT, params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -421,9 +437,17 @@ def raft_bi_flows(raft: RAFT, params, frames: jnp.ndarray) -> Tuple[jnp.ndarray,
     [B, T-1, H, W, 2].
     """
     B, T, H, W, _ = frames.shape
-    f1 = frames[:, :-1].reshape(-1, H, W, 3)
-    f2 = frames[:, 1:].reshape(-1, H, W, 3)
-    flows_f = raft.apply(params, f1, f2)
-    flows_b = raft.apply(params, f2, f1)
+    fmap, net, inp = raft.apply(
+        params, frames.reshape(-1, H, W, 3), method="encode")
+    h, w = fmap.shape[1:3]
+
+    def pairs(x):
+        x = x.reshape(B, T, h, w, -1)
+        return (x[:, :-1].reshape(B * (T - 1), h, w, -1),
+                x[:, 1:].reshape(B * (T - 1), h, w, -1))
+
+    (f1, f2), (n1, n2), (i1, i2) = pairs(fmap), pairs(net), pairs(inp)
+    flows_f = raft.apply(params, f1, f2, n1, i1, method="forward_encoded")
+    flows_b = raft.apply(params, f2, f1, n2, i2, method="forward_encoded")
     return (flows_f.reshape(B, T - 1, H, W, 2),
             flows_b.reshape(B, T - 1, H, W, 2))
