@@ -105,7 +105,7 @@ def frechet_distance(
     sigma1 = np.cov(real_activations, rowvar=False)
     sigma2 = np.cov(fake_activations, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = scipy.linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
