@@ -1,17 +1,27 @@
 """Benchmark: sttn-auto 1080p end-to-end inpaint throughput per chip.
 
-Runs the full streaming inpaint path (band crop + cv2 resize + H2D + encoder
-+ batched window transformer + decode + D2H + overlap composite + paste-back)
-on synthetic 1080p frames with the production model size, on the default JAX
-device (the real TPU under the driver).
+Runs the PRODUCTION streaming path (STTNAutoInpainter.process_video — the
+same code the CLI pipeline drives: band crop + native resize + H2D + encoder
++ batched window transformer + decode + out-rows D2H + overlap composite +
+fused paste-back + write) on synthetic 1080p frames with the production
+model size, on the default JAX device (the real TPU under the driver).
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "sttn_auto_1080p_fps_per_chip", "value": N, "unit": "frames/s",
    "vs_baseline": N / 60.0}
 
 Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target from BASELINE.json is >=2x realtime 1080p sttn-auto per chip — i.e.
 60 fps for 30fps video — so vs_baseline = fps / 60 (1.0 == target met).
+
+Contention robustness (VERDICT r3 item 1a): this host has ONE core, so any
+concurrent process halves throughput (documented 89 -> 37 fps under a
+parallel pytest). The bench therefore (1) renices itself to -10 when
+permitted so stray host processes don't starve the paste/crop stages,
+(2) runs 5 trials by default and keeps retrying (up to 4 extra) while
+trial variance exceeds 20%, and (3) emits per-trial wall times plus
+os.getloadavg() to stderr so a contended run is self-diagnosing in the
+driver log.
 """
 
 from __future__ import annotations
@@ -26,7 +36,53 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _loadavg() -> str:
+    try:
+        return "%.2f %.2f %.2f" % os.getloadavg()
+    except OSError:  # pragma: no cover
+        return "n/a"
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+class _ListReader:
+    """cv2.VideoCapture-compatible reader over an in-memory frame list."""
+
+    def __init__(self, frames):
+        self._frames = frames
+        self._i = 0
+
+    def read(self):
+        if self._i >= len(self._frames):
+            return False, None
+        f = self._frames[self._i]
+        self._i += 1
+        return True, f
+
+
+class _NullWriter:
+    """Swallows frames (the driver host has no encoder; ffmpeg is absent)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def write(self, frame):
+        self.n += 1
+
+
 def main() -> None:
+    # Renice: the bench measures device throughput through a host-fed
+    # pipeline; on the 1-core host a background process at equal priority
+    # steals exactly the cycles the paste/crop stages need to stay hidden
+    # behind device time. Root may lower niceness; fall back silently.
+    try:
+        os.nice(-10)
+        _log("reniced to -10")
+    except OSError:
+        _log("renice unavailable; running at default priority")
+
     from vsr_tpu.config import Config
     from vsr_tpu.inpaint.sttn_auto import STTNAutoInpainter
     from vsr_tpu.masks.mask import create_mask
@@ -45,20 +101,55 @@ def main() -> None:
     # bottom-band subtitle mask (the standard use case)
     mask = create_mask((H, W), [(300, 1620, 960, 1040)])
 
+    _log(f"loadavg before warmup: {_loadavg()}")
     inpainter = STTNAutoInpainter(config=cfg)
 
-    # warmup: compile the chunk program
-    clip = cfg.get_sttn_max_load_num()
-    _ = inpainter(frames[:clip], mask)
+    # warmup: compile (or cache-load) the chunk program
+    clip = inpainter.clip_gap
+    t0 = time.perf_counter()
+    inpainter.process_video(
+        _ListReader(frames[:clip]), _NullWriter(), mask, clip, (W, H)
+    )
+    _log(f"warmup pass: {time.perf_counter() - t0:.1f}s  loadavg {_loadavg()}")
 
-    # steady state: best of N trials (the remote-device session warms up
-    # over the first iterations)
-    trials = int(os.environ.get("VSR_BENCH_TRIALS", "3"))
-    best = float("inf")
-    for _ in range(trials):
+    def run_trial() -> float:
+        reader = _ListReader(frames)
+        writer = _NullWriter()
         t0 = time.perf_counter()
-        _ = inpainter(frames, mask)
-        best = min(best, time.perf_counter() - t0)
+        written = inpainter.process_video(reader, writer, mask, n_frames, (W, H))
+        dt = time.perf_counter() - t0
+        assert written == n_frames, (written, n_frames)
+        return dt
+
+    trials = int(os.environ.get("VSR_BENCH_TRIALS", "5"))
+    max_extra = int(os.environ.get("VSR_BENCH_MAX_EXTRA", "4"))
+    times = []
+    for i in range(trials):
+        dt = run_trial()
+        times.append(dt)
+        _log(f"trial {i + 1}: {dt:.3f}s  {n_frames / dt:.1f} fps  "
+             f"loadavg {_loadavg()}")
+
+    def variance(ts) -> float:
+        return (max(ts) - min(ts)) / min(ts)
+
+    extra = 0
+    while variance(times[-trials:]) > 0.20 and extra < max_extra:
+        extra += 1
+        _log(f"variance {variance(times[-trials:]):.0%} > 20% — host "
+             f"contention suspected; extra trial {extra}/{max_extra}")
+        dt = run_trial()
+        times.append(dt)
+        _log(f"trial {trials + extra}: {dt:.3f}s  {n_frames / dt:.1f} fps  "
+             f"loadavg {_loadavg()}")
+
+    best = min(times)
+    spread = variance(times)
+    if spread > 0.20:
+        _log(f"WARNING: trial spread {spread:.0%} after {len(times)} trials "
+             f"(times: {[round(t, 2) for t in times]}); the host was likely "
+             f"contended for the whole run — best-of-N may UNDERSTATE "
+             f"steady-state throughput")
 
     fps = n_frames / best
     result = {

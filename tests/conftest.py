@@ -26,6 +26,27 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Tiered runs (VERDICT r3 item 7): every test in these files exceeds ~60 s
+# on the 1-core host (full-suite --durations data), so the whole file is
+# auto-marked `slow`. Quick gate: `pytest -m "not slow"` (~10 min); CI and
+# pre-round validation run everything. Individual tests elsewhere can still
+# opt in with @pytest.mark.slow.
+SLOW_FILES = {
+    "test_activation_parity.py",
+    "test_convert_propainter.py",
+    "test_convert_raft.py",
+    "test_e2e_reference_diff.py",
+    "test_propainter.py",
+    "test_propainter_trainer.py",
+    "test_train.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def cpu_mesh():
