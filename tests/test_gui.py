@@ -241,3 +241,37 @@ def test_end_to_end_run(server, video, monkeypatch, tmp_path):
     jpeg = _req(base, "/api/preview/0")
     img = cv2.imdecode(np.frombuffer(jpeg, np.uint8), cv2.IMREAD_COLOR)
     assert img is not None and img.shape[1] > img.shape[0]  # hconcat pair
+
+
+def test_image_task_locked_to_lama(server, tmp_path):
+    """Image tasks force inpaint_mode=lama for the worker and surface the
+    lock in /api/state, mirroring the reference GUI's image-mode lock
+    (ui/home_interface.py:619-631)."""
+    from vsr_tpu.config import InpaintMode
+
+    img_path = str(tmp_path / "pic.png")
+    cv2.imwrite(img_path, np.full((40, 60, 3), 90, np.uint8))
+
+    base = server.address
+    _req(base, "/api/config", {"inpaint_mode": "sttn-auto"})
+    _req(base, "/api/tasks", {"paths": [img_path]})
+    st = _req(base, "/api/state")
+    assert st["tasks"][0]["is_image"] is True
+    assert st["tasks"][0]["inpaint_mode"] == "lama"
+
+    mgr = server.manager
+    task = mgr.tasks[0]
+    # the config handed to the worker subprocess is the locked one ...
+    eff = mgr.effective_config(task)
+    assert eff.inpaint_mode == InpaintMode.LAMA
+    # ... the user's global selection is untouched ...
+    assert mgr.config.inpaint_mode == InpaintMode.STTN_AUTO
+    # ... and a video task keeps the user's mode (no lock)
+    vid = str(tmp_path / "clip2.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 24, (96, 80))
+    w.write(np.zeros((80, 96, 3), np.uint8))
+    w.release()
+    _req(base, "/api/tasks", {"paths": [vid]})
+    st = _req(base, "/api/state")
+    assert st["tasks"][1]["is_image"] is False
+    assert st["tasks"][1]["inpaint_mode"] == "sttn-auto"

@@ -172,13 +172,25 @@ class GuiTaskManager:
                 break
             self._run_one(task)
 
+    def effective_config(self, task: Task) -> Config:
+        """Per-task config: image tasks are locked to LAMA, mirroring the
+        reference GUI (ui/home_interface.py:619-631 _lock_inpaint_mode_to_lama
+        — images have no temporal context, so STTN/ProPainter don't apply)."""
+        from vsr_tpu.config import InpaintMode
+
+        if task.is_image and self.config.inpaint_mode != InpaintMode.LAMA:
+            cfg = Config.from_json(self.config.to_json())
+            cfg.inpaint_mode = InpaintMode.LAMA
+            return cfg
+        return self.config
+
     def _spawn(self, task: Task, output: str, queue):
         """Overridable for tests: start the worker process."""
         ctx = multiprocessing.get_context("spawn")
         proc = ctx.Process(
             target=_gui_worker,
-            args=(task.path, output, task.options, self.config.to_json(),
-                  queue),
+            args=(task.path, output, task.options,
+                  self.effective_config(task).to_json(), queue),
         )
         proc.start()
         return proc
@@ -186,6 +198,9 @@ class GuiTaskManager:
     def _run_one(self, task: Task) -> None:
         task.status = TaskStatus.PROCESSING
         task.progress = 0
+        if task.is_image and self.effective_config(task) is not self.config:
+            self._log(task, "image task: inpaint mode locked to lama "
+                            "(images have no temporal context)", "info")
         output = task.output_path or task.default_output_path()
         channel = RemoteCallChannel()
 
@@ -250,6 +265,13 @@ class GuiTaskManager:
                         "error": t.error,
                         "output_path": t.output_path
                         or t.default_output_path(),
+                        "is_image": t.is_image,
+                        # image tasks are locked to lama (reference
+                        # home_interface.py:619-631); the UI disables the
+                        # mode select and shows this value while an image
+                        # task is selected
+                        "inpaint_mode":
+                            self.effective_config(t).inpaint_mode.value,
                         "sub_areas": [list(a) for a in t.options.sub_areas],
                         "ab_sections": [
                             [r.start, r.stop] for r in t.options.ab_sections

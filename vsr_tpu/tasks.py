@@ -25,6 +25,9 @@ from vsr_tpu.utils.process_manager import ProcessManager
 from vsr_tpu.utils.remote_call import Command, RemoteCallChannel, RemoteCallClient
 
 
+IMAGE_EXTENSIONS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+
+
 class TaskStatus(enum.Enum):
     PENDING = "pending"
     PROCESSING = "processing"
@@ -54,10 +57,14 @@ class Task:
     def name(self) -> str:
         return Path(self.path).name
 
+    @property
+    def is_image(self) -> bool:
+        return os.path.splitext(self.path)[-1].lower() in IMAGE_EXTENSIONS
+
     def default_output_path(self) -> str:
         stem = Path(self.path).stem
         ext = os.path.splitext(self.path)[-1].lower()
-        if ext in {".png", ".jpg", ".jpeg", ".bmp", ".webp"}:
+        if ext in IMAGE_EXTENSIONS:
             return os.path.join(os.path.dirname(self.path), "no_sub",
                                 f"{stem}{ext}")
         return os.path.join(os.path.dirname(self.path), f"{stem}_no_sub.mp4")
