@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Refresh the perf artifacts and fail if any committed artifact predates the
+# last commit touching vsr_tpu/ (VERDICT r3 item 3: never end a round with
+# stale perf artifacts).
+#
+# Usage:  scripts/refresh_artifacts.sh <round>     e.g. 04
+# Runs on the real TPU — keep the machine quiet (one TPU process at a time).
+
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROUND="${1:?usage: refresh_artifacts.sh <round-number, e.g. 04>}"
+MODES_OUT="BENCH_MODES_r${ROUND}.json"
+
+echo "[refresh] bench_modes -> ${MODES_OUT}"
+python scripts/bench_modes.py --out "${MODES_OUT}"
+
+echo "[refresh] bench_parity -> parity_results_r${ROUND#0}.json"
+if ! python bench_parity.py --out "parity_results_r${ROUND#0}.json"; then
+    echo "[refresh] bench_parity failed (non-fatal: requires weights/e2e env)"
+fi
+
+# staleness gate: every BENCH*/parity artifact must be newer than the last
+# commit that touched vsr_tpu/
+last_src_commit_ts=$(git log -1 --format=%ct -- vsr_tpu/)
+stale=0
+for f in BENCH_MODES_r*.json parity_results_r*.json; do
+    [ -e "$f" ] || continue
+    # only gate the latest round's files; historical artifacts stay frozen
+    case "$f" in
+        *"r${ROUND}"*|*"r${ROUND#0}"*) ;;
+        *) continue ;;
+    esac
+    if [ "$(stat -c %Y "$f")" -lt "$last_src_commit_ts" ]; then
+        echo "[refresh] STALE: $f predates the last vsr_tpu/ commit"
+        stale=1
+    fi
+done
+exit $stale

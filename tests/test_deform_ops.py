@@ -171,3 +171,71 @@ class TestModulatedDeformConv:
         # group 1 channels shifted
         np.testing.assert_allclose(
             out_b[:, :, :-1, 4:], out_a[:, :, 1:, 4:], atol=1e-5)
+
+
+class TestDeformPatchPath:
+    """Patch-gather sampling (center + bounded residual) must equal the
+    generic corner-gather path exactly — it is the production path for both
+    ProPainter deform alignments (generator.py, flow_completion.py)."""
+
+    def _run_both(self, x, offset, mod, w, center, bound):
+        from vsr_tpu.ops import deform_conv as dc
+
+        generic = np.asarray(modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mod),
+            jnp.asarray(w)))
+        assert dc._USE_PATCH  # tests run with the default env
+        patch = np.asarray(modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mod),
+            jnp.asarray(w), center=jnp.asarray(center), residual_bound=bound))
+        return generic, patch
+
+    @pytest.mark.parametrize("bound", [3.0, 5.0])
+    def test_fuzz_matches_generic(self, bound):
+        rng = np.random.default_rng(8)
+        B, H, W, C, G, Cout = 2, 10, 12, 16, 4, 6
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, Cout)).astype(np.float32)
+        # center like a flow field (can be large / push patches off-image)
+        center = rng.uniform(-12, 12, (B, H, W, 2)).astype(np.float32)
+        res = rng.uniform(-bound, bound, (B, H, W, G, 9, 2)).astype(np.float32)
+        offset = res + center[:, :, :, None, None, :]
+        mod = rng.uniform(0, 1, (B, H, W, G, 9)).astype(np.float32)
+        generic, patch = self._run_both(x, offset, mod, w, center, bound)
+        np.testing.assert_allclose(patch, generic, rtol=1e-4, atol=1e-4)
+
+    def test_zero_center_zero_offset_equals_conv(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(9)
+        B, H, W, C, G, Cout = 1, 7, 9, 8, 2, 4
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, Cout)).astype(np.float32)
+        offset = np.zeros((B, H, W, G, 9, 2), np.float32)
+        mod = np.ones((B, H, W, G, 9), np.float32)
+        out = np.asarray(modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mod),
+            jnp.asarray(w), center=jnp.zeros((B, H, W, 2), jnp.float32),
+            residual_bound=5.0))
+        ref = F.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(w.transpose(3, 2, 0, 1)), padding=1,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_far_out_of_image_centers_are_zero(self):
+        """Whole patches outside the image (clamped starts) contribute 0 —
+        the zeros-padding semantics of the reference sampler."""
+        rng = np.random.default_rng(10)
+        B, H, W, C, G = 1, 6, 6, 8, 2
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, 2)).astype(np.float32)
+        center = np.full((B, H, W, 2), 100.0, np.float32)
+        offset = center[:, :, :, None, None, :] + np.zeros(
+            (B, H, W, G, 9, 2), np.float32)
+        mod = np.ones((B, H, W, G, 9), np.float32)
+        out = np.asarray(modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mod),
+            jnp.asarray(w), center=jnp.asarray(center), residual_bound=3.0))
+        np.testing.assert_allclose(out, np.zeros_like(out), atol=1e-6)

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--warmup-sizes", action="append", nargs=2, type=int,
         metavar=("H", "W"),
         help="Frame sizes to warm (repeatable; default 480p/720p/1080p)")
+    parser.add_argument(
+        "--prepare-models", type=str, default=None, metavar="REF_MODELS_DIR",
+        help="One-shot model bootstrap: merge split blobs and convert every "
+             "reference checkpoint found under REF_MODELS_DIR (the "
+             "reference's backend/models layout) into .npz files in the "
+             "--models directory (default ./models_npz), then exit.")
     parser.add_argument("--gui", action="store_true",
                         help="Launch the browser GUI instead of processing "
                              "(equivalent to python -m vsr_tpu.gui)")
@@ -77,6 +83,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             print(f"vsr_tpu {__version__}: up to date ({info['tag']})")
         return 0
+    if args.prepare_models is not None:
+        from vsr_tpu.prepare import prepare_models
+
+        results = prepare_models(args.prepare_models,
+                                 args.models or "models_npz")
+        bad = [f for f, s in results.items() if s.startswith("error")]
+        return 1 if bad else 0
     if args.warmup is not None:
         from vsr_tpu.warmup import DEFAULT_MODES, DEFAULT_SIZES, warmup
 

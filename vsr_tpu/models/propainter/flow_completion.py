@@ -76,9 +76,13 @@ class SecondOrderDeformableAlignment(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], c), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # offsets are pure tanh-bounded residuals (no flow term here): the
+        # patch path gathers one window per position around center 0
         return modulated_deform_conv(
             x, offset, modulation, kernel.astype(self.dtype),
-            bias.astype(self.dtype))
+            bias.astype(self.dtype),
+            center=jnp.zeros((B, H, W, 2), jnp.float32),
+            residual_bound=self.max_residue_magnitude)
 
 
 class _SweepStep(nn.Module):

@@ -201,14 +201,18 @@ class DeformableAlignment(nn.Module):
             jnp.concatenate([o1, o2], axis=-1))
         offset = offset.reshape(B, H, W, G, 9, 2)
         # add flow per tap as (dy, dx) (flow is (x, y): flip)
-        offset = offset + flow[..., ::-1][:, :, :, None, None, :]
+        center = flow[..., ::-1]
+        offset = offset + center[:, :, :, None, None, :]
         modulation = nn.sigmoid(mask).reshape(B, H, W, G, 9)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, c, c), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # offsets are center (flow) + tanh-bounded residual: the patch path
+        # gathers one window per position instead of per (group, tap)
         return modulated_deform_conv(
             x, offset, modulation, kernel.astype(self.dtype),
-            bias.astype(self.dtype))
+            bias.astype(self.dtype), center=center,
+            residual_bound=self.max_residue_magnitude)
 
 
 class _FeatSweepStep(nn.Module):
