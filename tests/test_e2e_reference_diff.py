@@ -162,7 +162,7 @@ class TestSTTNDetE2E:
 
 
 class TestLamaE2E:
-    def test_wrapper_diff(self, tmp_path):
+    def test_wrapper_diff(self, tmp_path, monkeypatch):
         """Reference LamaInpaint band path (lama_inpaint.py:30-114) driving a
         torch.jit blob vs LamaInpainter with converted weights.
 
@@ -214,11 +214,28 @@ class TestLamaE2E:
         mask = _mask(h, w, 190, 225, 40, 280)
 
         ref_out = ref([f.copy() for f in frames], mask.copy())
+        # reference semantics (full-band overwrite) under the compat flag
+        monkeypatch.setenv("VSR_LAMA_BAND_D2H", "full")
         our_out = ours([f.copy() for f in frames], mask.copy())
 
         assert len(ref_out) == len(our_out) == t
         dmax, dmean = _diff_stats(ref_out, our_out)
         assert dmax <= 1, f"lama e2e max delta {dmax} (mean {dmean:.4f})"
+
+        # default (masked D2H composite): mask interior still matches the
+        # reference; every pixel OUTSIDE the mask is bit-exact to the input
+        # (the documented divergence — the reference rewrites the whole band
+        # with the autoencoder reconstruction, lama_inpaint.py:105)
+        monkeypatch.setenv("VSR_LAMA_BAND_D2H", "masked")
+        our_masked = ours([f.copy() for f in frames], mask.copy())
+        hole = mask > 0
+        dmax_in, _ = _diff_stats(ref_out, our_masked,
+                                 where=np.broadcast_to(hole[..., None],
+                                                       frames[0].shape))
+        assert dmax_in <= 1, f"lama masked-mode interior delta {dmax_in}"
+        keep = ~hole
+        for src, got in zip(frames, our_masked):
+            np.testing.assert_array_equal(src[keep], got[keep])
 
 
 class TestProPainterE2E:

@@ -56,6 +56,50 @@ class TestFourierUnit:
         back = jnp.fft.irfft2(f, s=(8, 8), axes=(1, 2), norm="ortho")
         np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
 
+    @pytest.mark.parametrize("hw", [(8, 8), (16, 24), (9, 12), (12, 9),
+                                    (32, 160)])
+    def test_matmul_dft_matches_xla_fft(self, hw):
+        """The MXU matmul rfft2/irfft2 (the TPU default — XLA's FFT lowering
+        shatters into ~800 tiny fusions) must match jnp.fft exactly, odd
+        widths included (Nyquist-bin weighting differs)."""
+        from vsr_tpu.models.lama import _irfft2_matmul, _rfft2_matmul
+
+        H, W = hw
+        x = np.random.default_rng(2).standard_normal((2, H, W, 3)).astype(
+            np.float32)
+        ref = jnp.fft.rfft2(jnp.asarray(x), axes=(1, 2), norm="ortho")
+        re, im = _rfft2_matmul(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(re), np.asarray(ref.real),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(im), np.asarray(ref.imag),
+                                   atol=2e-5)
+        back_ref = jnp.fft.irfft2(ref, s=(H, W), axes=(1, 2), norm="ortho")
+        back = _irfft2_matmul(re, im, H, W)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(back_ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(back), x, atol=2e-5)
+
+    def test_fourier_unit_matmul_vs_xla_path(self):
+        """FourierUnit output is identical whichever FFT backend runs."""
+        import os
+
+        fu = FourierUnit(8)
+        x = jnp.asarray(np.random.default_rng(3)
+                        .standard_normal((2, 16, 24, 8)).astype(np.float32))
+        params = fu.init(jax.random.PRNGKey(0), x)
+        old = os.environ.get("VSR_LAMA_FFT")
+        try:
+            os.environ["VSR_LAMA_FFT"] = "matmul"
+            out_mm = np.asarray(fu.apply(params, x))
+            os.environ["VSR_LAMA_FFT"] = "xla"
+            out_xla = np.asarray(fu.apply(params, x))
+        finally:
+            if old is None:
+                os.environ.pop("VSR_LAMA_FFT", None)
+            else:
+                os.environ["VSR_LAMA_FFT"] = old
+        np.testing.assert_allclose(out_mm, out_xla, atol=5e-5)
+
 
 @pytest.fixture(scope="module")
 def tiny_lama():
@@ -111,15 +155,7 @@ class TestLamaInpainterWrapper:
         inp.params = inp.model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
             jnp.zeros((1, 64, 64, 1)))
-        import jax as _jax
-
-        def fwd(params, img_u8, mask_u8):  # the production uint8 contract
-            img = img_u8.astype(jnp.float32) / 255.0
-            msk = (mask_u8 > 0).astype(jnp.float32)
-            out = inp.model.apply(params, img, msk)
-            return jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
-
-        inp._forward = _jax.jit(fwd)
+        inp._build_forward()  # rebind the production contract to the tiny model
         return inp
 
     def test_single_image_native_res(self, inpainter):
@@ -141,6 +177,28 @@ class TestLamaInpainterWrapper:
         assert len(out) == 5
         # outside the band untouched
         np.testing.assert_array_equal(out[1][:60], frames[1][:60])
+
+    def test_band_masked_d2h_semantics(self, inpainter, monkeypatch):
+        """Default band path composites on device and fetches only the
+        mask-covering rows: outside the mask every pixel is bit-exact to the
+        input; inside it matches the full-band reference-overwrite mode."""
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        mask = np.zeros((96, 128), np.uint8)
+        mask[80:92, 20:110] = 255
+
+        monkeypatch.setenv("VSR_LAMA_BAND_D2H", "full")
+        full = inpainter([f.copy() for f in frames], mask)
+        monkeypatch.setenv("VSR_LAMA_BAND_D2H", "masked")
+        masked = inpainter([f.copy() for f in frames], mask)
+
+        hole = mask > 0
+        for src, fo, mo in zip(frames, full, masked):
+            np.testing.assert_array_equal(mo[hole], fo[hole])
+            np.testing.assert_array_equal(mo[~hole], src[~hole])
+            # the band exists and the model actually changed the hole
+            assert np.abs(fo[hole].astype(int) - src[hole].astype(int)).max() > 0
 
     def test_batch_tail_padding(self, inpainter):
         rng = np.random.default_rng(6)

@@ -14,6 +14,9 @@ reference (which feeds cv2 frames to the blob unconverted).
 from __future__ import annotations
 
 import math
+import os
+import queue
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -26,7 +29,16 @@ from vsr_tpu.inpaint.weights import load_or_init_params
 from vsr_tpu.masks.solver import get_inpaint_area_by_mask
 from vsr_tpu.models.lama import LamaGenerator
 
-MINI_BATCH = 4  # ref :38
+MINI_BATCH = 4  # ref :38 (generic / picture path)
+
+
+def band_batch() -> int:
+    """Mini-batch for the video band path. The reference's 4 was a GPU-VRAM
+    artifact (lama_inpaint.py:38); on the tunnelled TPU bigger batches
+    amortize the ~40 ms per-transfer RPC latency into the link's ~46 MB/s
+    (profiled round 4: 16-frame uploads run 2.1x the byte rate of 4-frame
+    ones) and fill the MXU better."""
+    return int(os.environ.get("VSR_LAMA_BAND_BATCH", "16"))
 
 
 def pad_bucket() -> int:
@@ -73,17 +85,48 @@ class LamaInpainter:
             (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1))),
             checkpoint_path,
         )
+        self._build_forward()
+
+    def _build_forward(self) -> None:
+        """(Re)build the jitted uint8 forwards for the current self.model.
+        Tests swap in tiny models and call this instead of duplicating the
+        contract."""
         from vsr_tpu.utils.exec_cache import cached_jit
 
         def fwd(params, img_u8, mask_u8):
             # uint8 in, uint8 out: normalization and the final clip/cast run
-            # on device so only uint8 crosses the (slow, tunnelled) link
+            # on device so only uint8 crosses the (slow, tunnelled) link.
+            # The mask may carry batch dim 1 (video band path: the constant
+            # band mask is uploaded ONCE per band, not once per mini-batch —
+            # it was 25% of H2D bytes) and broadcasts to the image batch.
             img = img_u8.astype(jnp.float32) / 255.0
-            msk = (mask_u8 > 0).astype(jnp.float32)
+            msk = jnp.broadcast_to((mask_u8 > 0).astype(jnp.float32),
+                                   img.shape[:3] + (1,))
             out = self.model.apply(params, img, msk)
             return jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
 
         self._forward = cached_jit(fwd)
+
+        def band_fwd(params, img_u8, mask_u8, r0, out_h, out_w):
+            # Band-path forward: composite on device (mask interior gets the
+            # prediction, everything else the ORIGINAL uint8 pixels) and ship
+            # only the ``out_h`` rows from ``r0`` that cover the mask — D2H
+            # was ~13 ms/frame of a 69 ms/frame budget at full-band fetch.
+            # r0 is a dynamic scalar so one program serves any mask position;
+            # out_h is static, bucketed by the caller. The composite makes
+            # every fetched non-mask pixel exactly the input, so paste-back
+            # is a plain row-slice assignment.
+            img = img_u8.astype(jnp.float32) / 255.0
+            mskb = mask_u8 > 0                       # [1, H, W, 1]
+            msk = jnp.broadcast_to(mskb.astype(jnp.float32),
+                                   img.shape[:3] + (1,))
+            pred = self.model.apply(params, img, msk)
+            pred_u8 = jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
+            comp = jnp.where(mskb, pred_u8, img_u8)
+            rows = jax.lax.dynamic_slice_in_dim(comp, r0, out_h, axis=1)
+            return rows[:, :, :out_w]
+
+        self._band_forward = cached_jit(band_fwd, static_argnums=(4, 5))
 
     # ---- core batched forward over a fixed shape bucket ----
     def _dispatch_batch(self, images: List[np.ndarray], masks: List[np.ndarray]):
@@ -147,10 +190,109 @@ class LamaInpainter:
         if not bands:
             return out
         for band in bands:
-            ymin, ymax = band[0], band[1]
-            crops = [f[ymin:ymax, :, :] for f in out]
-            mcrops = [mask[ymin:ymax, :, :]] * len(crops)
-            comps = self.inpaint_batch(crops, mcrops)
-            for j in range(len(out)):
-                out[j][ymin:ymax, :, :] = comps[j]
+            self._inpaint_band(out, mask, band[0], band[1])
         return out
+
+    def _inpaint_band(self, out: List[np.ndarray], mask: np.ndarray,
+                      ymin: int, ymax: int) -> None:
+        """Inpaint one horizontal band in place across all frames.
+
+        Tunnel-shaped streaming (round-4 profile: H2D at jnp.asarray
+        granularity was 98 ms/frame of a 74 ms/frame budget):
+        * the band mask is constant across frames — device_put ONCE;
+        * frame crops upload as big stacked uint8 device_puts from a
+          background thread (the link rewards few large transfers);
+        * two batches stay in flight so host pad/stack/paste work hides
+          behind device time even though the tunnel itself serializes
+          transfer and execute RPCs;
+        * D2H fetches only the mask-covering rows of the on-device composite
+          (mask pixels = prediction, everything else = original input), in
+          64-row buckets so programs stay warmup-precompilable.
+
+        Documented divergence: the reference overwrites the WHOLE band with
+        the generator's reconstruction (lama_inpaint.py:105), so non-mask
+        band pixels pick up autoencoder noise there; the composite keeps
+        them bit-exact to the input instead. VSR_LAMA_BAND_D2H=full restores
+        the reference full-band overwrite (the e2e differential pins parity
+        under that flag).
+        """
+        dev = jax.devices()[0]
+        bucket = pad_bucket()
+        B = band_batch()
+        n = len(out)
+        d_mask = jax.device_put(
+            pad_to_modulo(mask[ymin:ymax], bucket)[None], dev)
+        orig_h, orig_w = ymax - ymin, out[0].shape[1]
+
+        full_band = os.environ.get("VSR_LAMA_BAND_D2H", "masked") == "full"
+        if full_band:
+            r0 = 0
+        else:
+            mrows = np.nonzero(mask[ymin:ymax, :, 0].any(axis=1))[0]
+            if len(mrows) == 0:
+                return  # nothing to inpaint in this band
+            # 64-row out-height buckets bound the compile count; r0 is a
+            # dynamic arg so mask position never recompiles
+            out_h = min(orig_h, (int(mrows[-1] - mrows[0]) // 64 + 1) * 64)
+            r0 = max(0, min(int(mrows[0]), orig_h - out_h))
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def uploader() -> None:
+            try:
+                for start in range(0, n, B):
+                    if stop.is_set():
+                        break
+                    chunk = [out[j][ymin:ymax] for j in
+                             range(start, min(start + B, n))]
+                    k = len(chunk)
+                    if k < B:  # pad the tail: one program per bucket
+                        chunk = chunk + [chunk[-1]] * (B - k)
+                    arr = np.stack([pad_to_modulo(c, bucket) for c in chunk])
+                    q.put((jax.device_put(arr, dev), start, k))
+                q.put(None)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        th = threading.Thread(target=uploader, daemon=True)
+        th.start()
+        pending: List[tuple] = []
+
+        def paste(handle, start: int, k: int) -> None:
+            arr = np.asarray(handle)
+            if full_band:
+                for i in range(k):
+                    out[start + i][ymin:ymax] = arr[i, :orig_h, :orig_w]
+            else:
+                y0 = ymin + r0
+                for i in range(k):
+                    out[start + i][y0 : y0 + arr.shape[1]] = arr[i]
+
+        def forward(d_img):
+            if full_band:
+                return self._forward(self.params, d_img, d_mask)
+            return self._band_forward(self.params, d_img, d_mask,
+                                      np.int32(r0), out_h, orig_w)
+
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                d_img, start, k = item
+                pending.append((forward(d_img), start, k))
+                if len(pending) > 2:
+                    paste(*pending.pop(0))
+            for h in pending:
+                paste(*h)
+        finally:
+            stop.set()
+            while th.is_alive():  # unblock a producer stuck on q.put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                th.join(timeout=0.05)

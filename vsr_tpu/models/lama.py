@@ -19,12 +19,86 @@ torch's stack+view so converted weights keep their meaning.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
 from typing import Tuple
 
+import numpy as np
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _PAD1 = ((1, 1), (1, 1))
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def _dft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Ortho-normalized forward-DFT matrix exp(-2πi hk/n)/√n as (re, im)."""
+    k = np.arange(n)
+    theta = 2.0 * np.pi * np.outer(k, k) / n
+    s = 1.0 / np.sqrt(n)
+    return (np.cos(theta) * s).astype(np.float32), (
+        -np.sin(theta) * s).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _rdft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[n, n//2+1] forward real-DFT matrix (ortho), keeping bins 0..n//2."""
+    re, im = _dft_mats(n)
+    m = n // 2 + 1
+    return re[:, :m].copy(), im[:, :m].copy()
+
+
+@lru_cache(maxsize=None)
+def _irdft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[n//2+1, n] inverse real-DFT (ortho) with Hermitian bin weights:
+    out[w] = Σ_m ω_m (Zr cos(2πmw/n) − Zi sin(2πmw/n))/√n, ω = 2 except the
+    DC and (even-n) Nyquist bins."""
+    m = n // 2 + 1
+    w = np.full((m, 1), 2.0, np.float64)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    theta = 2.0 * np.pi * np.outer(np.arange(m), np.arange(n)) / n
+    s = w / np.sqrt(n)
+    return (np.cos(theta) * s).astype(np.float32), (
+        -np.sin(theta) * s).astype(np.float32)
+
+
+def _rfft2_matmul(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """rfft2(x, axes=(1,2), norm='ortho') as MXU matmuls -> (re, im).
+
+    XLA's TPU FFT lowering decomposes into ~800 sub-millisecond fusions per
+    LaMa forward (148 of 190 ms device time at B=8, profiled round 4); the
+    spectral grids here are tiny (H/8 × W/8), so two dense DFT matmuls per
+    axis run the whole thing on the MXU in well under a millisecond."""
+    B, H, W, C = x.shape
+    hr, hi = (jnp.asarray(a) for a in _dft_mats(H))
+    xr = jnp.einsum("bhwc,hk->bkwc", x, hr, precision=_HI)
+    xi = jnp.einsum("bhwc,hk->bkwc", x, hi, precision=_HI)
+    wr, wi = (jnp.asarray(a) for a in _rdft_mats(W))
+    yr = jnp.einsum("bkwc,wm->bkmc", xr, wr, precision=_HI) - jnp.einsum(
+        "bkwc,wm->bkmc", xi, wi, precision=_HI)
+    yi = jnp.einsum("bkwc,wm->bkmc", xr, wi, precision=_HI) + jnp.einsum(
+        "bkwc,wm->bkmc", xi, wr, precision=_HI)
+    return yr, yi
+
+
+def _irfft2_matmul(zr: jnp.ndarray, zi: jnp.ndarray, H: int,
+                   W: int) -> jnp.ndarray:
+    """irfft2(zr + i·zi, s=(H, W), axes=(1,2), norm='ortho') via matmuls."""
+    er, ei = (jnp.asarray(a) for a in _dft_mats(H))
+    # inverse DFT along H: conjugate-transpose of the (symmetric) forward
+    xr = jnp.einsum("bkmc,kh->bhmc", zr, er, precision=_HI) + jnp.einsum(
+        "bkmc,kh->bhmc", zi, ei, precision=_HI)
+    xi = jnp.einsum("bkmc,kh->bhmc", zi, er, precision=_HI) - jnp.einsum(
+        "bkmc,kh->bhmc", zr, ei, precision=_HI)
+    gr, gi = (jnp.asarray(a) for a in _irdft_mats(W))
+    return jnp.einsum("bhmc,mw->bhwc", xr, gr, precision=_HI) + jnp.einsum(
+        "bhmc,mw->bhwc", xi, gi, precision=_HI)
 
 
 def _bn(train: bool, dtype, name: str):
@@ -40,17 +114,26 @@ class FourierUnit(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
-        ffted = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        use_matmul = os.environ.get("VSR_LAMA_FFT", "matmul") != "xla"
+        if use_matmul:
+            re, im = _rfft2_matmul(x.astype(jnp.float32))
+        else:
+            ffted = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2),
+                                  norm="ortho")
+            re, im = ffted.real, ffted.imag
         # [B, H, W//2+1, C] complex -> [B, H, W//2+1, 2C] channel-major (re, im)
-        z = jnp.stack([ffted.real, ffted.imag], axis=-1)
+        z = jnp.stack([re, im], axis=-1)
         z = z.reshape(B, H, W // 2 + 1, C * 2).astype(self.dtype)
         z = nn.Conv(self.features * 2, (1, 1), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(z)
         z = _bn(train, self.dtype, "bn")(z)
         z = nn.relu(z)
         z = z.astype(jnp.float32).reshape(B, H, W // 2 + 1, self.features, 2)
-        comp = z[..., 0] + 1j * z[..., 1]
-        out = jnp.fft.irfft2(comp, s=(H, W), axes=(1, 2), norm="ortho")
+        if use_matmul:
+            out = _irfft2_matmul(z[..., 0], z[..., 1], H, W)
+        else:
+            comp = z[..., 0] + 1j * z[..., 1]
+            out = jnp.fft.irfft2(comp, s=(H, W), axes=(1, 2), norm="ortho")
         return out.astype(self.dtype)
 
 

@@ -67,6 +67,10 @@ class cached_jit:
         self._static = {static} if isinstance(static, int) else set(static)
         self._jit = jax.jit(fn, **jit_kwargs)
         self._compiled: dict = {}
+        # Identity memo for repeated big-pytree args (model params): computing
+        # a 2500-leaf signature cost ~17 ms per dispatch in the round-4 LaMa
+        # trace. Strong refs keep ids stable; bounded FIFO caps the leak.
+        self._sig_memo: dict = {}
 
     @staticmethod
     def _leaf_sig(leaf):
@@ -78,8 +82,16 @@ class cached_jit:
     def _arg_sig(self, i, arg):
         if i in self._static:
             return ("static", repr(arg))
+        memo = self._sig_memo.get(id(arg))
+        if memo is not None and memo[0] is arg:
+            return memo[1]
         leaves, treedef = jax.tree_util.tree_flatten(arg)
-        return (str(treedef), tuple(self._leaf_sig(l) for l in leaves))
+        sig = (str(treedef), tuple(self._leaf_sig(l) for l in leaves))
+        if len(leaves) > 16:  # only big trees are worth memoizing
+            if len(self._sig_memo) >= 8:
+                self._sig_memo.pop(next(iter(self._sig_memo)))
+            self._sig_memo[id(arg)] = (arg, sig)
+        return sig
 
     def __call__(self, *args, **kwargs):
         if kwargs:

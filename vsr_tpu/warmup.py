@@ -84,12 +84,19 @@ def _warm_lama(cfg: Config, checkpoint_dir: Optional[str],
         mask[h // 2 : h // 2 + 8, w // 4 : w // 2] = 255
         # picture path (batch 1, full resolution)
         inp.inpaint(np.zeros((h, w, 3), np.uint8), mask)
-        # video band path (batch MINI_BATCH at split_h = W*3/16)
+        # video band path (batch band_batch() with the resident band mask,
+        # at split_h = W*3/16 — the same program __call__ dispatches)
+        from vsr_tpu.inpaint.lama import band_batch
+
         split_h = int(w * 3 / 16)
-        band_mask = np.zeros((split_h, w), np.uint8)
-        band_mask[split_h // 2 : split_h // 2 + 8, w // 4 : w // 2] = 255
-        inp.inpaint_batch(
-            [np.zeros((split_h, w, 3), np.uint8)] * 4, [band_mask] * 4)
+        frames = [np.zeros((h, w, 3), np.uint8)
+                  for _ in range(band_batch())]
+        full_mask = np.zeros((h, w, 1), np.uint8)
+        # ~100-row mask: subtitle bands at 720p+ land in the 128-row D2H
+        # out-height bucket — warm that program, not the 64-row one
+        mh = min(100, split_h - 8)
+        full_mask[h - 4 - mh : h - 4, w // 4 : w // 2] = 255
+        inp(frames, full_mask)
 
 
 def _warm_propainter(cfg: Config, checkpoint_dir: Optional[str],
