@@ -227,6 +227,8 @@ class TestLamaE2E:
         # (the documented divergence — the reference rewrites the whole band
         # with the autoencoder reconstruction, lama_inpaint.py:105)
         monkeypatch.setenv("VSR_LAMA_BAND_D2H", "masked")
+        monkeypatch.setenv("VSR_LAMA_H2D", "bgr")  # exact uploads: the ±1
+        # i420 input perturbation is a separate documented knob (test_lama)
         our_masked = ours([f.copy() for f in frames], mask.copy())
         hole = mask > 0
         dmax_in, _ = _diff_stats(ref_out, our_masked,

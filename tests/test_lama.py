@@ -188,6 +188,7 @@ class TestLamaInpainterWrapper:
         mask = np.zeros((96, 128), np.uint8)
         mask[80:92, 20:110] = 255
 
+        monkeypatch.setenv("VSR_LAMA_H2D", "bgr")  # isolate D2H semantics
         monkeypatch.setenv("VSR_LAMA_BAND_D2H", "full")
         full = inpainter([f.copy() for f in frames], mask)
         monkeypatch.setenv("VSR_LAMA_BAND_D2H", "masked")
@@ -199,6 +200,59 @@ class TestLamaInpainterWrapper:
             np.testing.assert_array_equal(mo[~hole], src[~hole])
             # the band exists and the model actually changed the hole
             assert np.abs(fo[hole].astype(int) - src[hole].astype(int)).max() > 0
+
+    def test_band_i420_upload_codec(self, inpainter, monkeypatch):
+        """Default i420 uploads: non-mask pixels still pass through
+        bit-exact, and for frames on the 4:2:0 manifold (i.e. decoded video)
+        the mask interior matches the exact-BGR path within the model's
+        sensitivity to a ±1 input perturbation (here: a tiny random model, so
+        just assert the interior was inpainted and output is sane)."""
+        import cv2 as _cv2
+
+        rng = np.random.default_rng(8)
+        frames = []
+        for _ in range(3):
+            f = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+            f = _cv2.GaussianBlur(f, (0, 0), 2)
+            # project onto the I420 manifold like a real decoded frame
+            f = _cv2.cvtColor(_cv2.cvtColor(f, _cv2.COLOR_BGR2YUV_I420),
+                              _cv2.COLOR_YUV2BGR_I420)
+            frames.append(f)
+        mask = np.zeros((96, 128), np.uint8)
+        mask[80:92, 20:110] = 255
+        hole = mask > 0
+
+        monkeypatch.setenv("VSR_LAMA_H2D", "i420")
+        got = inpainter([f.copy() for f in frames], mask)
+        monkeypatch.setenv("VSR_LAMA_H2D", "bgr")
+        exact = inpainter([f.copy() for f in frames], mask)
+        for src, g, e in zip(frames, got, exact):
+            np.testing.assert_array_equal(g[~hole], src[~hole])
+            assert np.abs(g[hole].astype(int) - src[hole].astype(int)).max() > 0
+            # interior tracks the exact-upload path (random tiny model —
+            # loose bound; converted-weight closeness is covered by the
+            # codec round-trip test below)
+            assert np.mean(np.abs(g[hole].astype(int) - e[hole].astype(int))) < 32
+
+    def test_i420_device_decode_matches_cv2(self):
+        """The jitted I420->BGR decode matches cv2's converter within ±1 and
+        round-trips a real 4:2:0 frame to within ±1 of the original BGR."""
+        import cv2 as _cv2
+
+        from vsr_tpu.inpaint.lama import _i420_to_bgr_device
+
+        rng = np.random.default_rng(9)
+        band = _cv2.GaussianBlur(
+            rng.integers(0, 256, (64, 128, 3), dtype=np.uint8), (0, 0), 2)
+        band = _cv2.cvtColor(_cv2.cvtColor(band, _cv2.COLOR_BGR2YUV_I420),
+                             _cv2.COLOR_YUV2BGR_I420)  # on-manifold original
+        i420 = _cv2.cvtColor(band, _cv2.COLOR_BGR2YUV_I420)
+        dec = np.asarray(jnp.clip(jnp.round(
+            _i420_to_bgr_device(jnp.asarray(i420)[None])), 0, 255)
+        ).astype(np.uint8)[0]
+        cv2_dec = _cv2.cvtColor(i420, _cv2.COLOR_YUV2BGR_I420)
+        assert np.abs(dec.astype(int) - cv2_dec.astype(int)).max() <= 1
+        assert np.abs(dec.astype(int) - band.astype(int)).max() <= 1
 
     def test_batch_tail_padding(self, inpainter):
         rng = np.random.default_rng(6)

@@ -19,6 +19,7 @@ import queue
 import threading
 from typing import Dict, List, Optional, Tuple
 
+import cv2
 import numpy as np
 
 import jax
@@ -39,6 +40,40 @@ def band_batch() -> int:
     (profiled round 4: 16-frame uploads run 2.1x the byte rate of 4-frame
     ones) and fill the MXU better."""
     return int(os.environ.get("VSR_LAMA_BAND_BATCH", "16"))
+
+
+def h2d_codec() -> str:
+    """Upload codec for band crops. 'i420' (default): frames cross the
+    tunnel as YUV 4:2:0 — HALF the bytes of BGR on a link that serializes
+    transfer and execute RPCs (H2D was 41 of 69 ms/frame), and lossless to
+    ±1 uint8 for footage that was 4:2:0-encoded, i.e. virtually every video
+    this tool processes: the decoder's BGR output lies on the I420 manifold
+    (measured max|Δ|=1, mean 0.19 round-tripping the reference test clip's
+    band). 'bgr' restores byte-exact uploads (the e2e differential pins
+    reference parity under it). Either way, pixels OUTSIDE the mask are
+    never model-touched — paste-back blends only mask pixels on host."""
+    return os.environ.get("VSR_LAMA_H2D", "i420")
+
+
+def _i420_to_bgr_device(x: "jnp.ndarray") -> "jnp.ndarray":
+    """[B, H*3/2, W] uint8 I420 planes -> [B, H, W, 3] float32 BGR (0..255).
+
+    Nearest chroma upsample + BT.601 limited-range — matches cv2's
+    COLOR_YUV2BGR_I420 within ±1 (pinned by tests/test_lama.py)."""
+    B, h15, W = x.shape
+    H = h15 * 2 // 3
+    y = x[:, :H].astype(jnp.float32)
+    u = x[:, H : H + H // 4].reshape(B, H // 2, W // 2).astype(jnp.float32)
+    v = x[:, H + H // 4 :].reshape(B, H // 2, W // 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    c = y - 16.0
+    d = u - 128.0
+    e = v - 128.0
+    r = 1.164 * c + 1.596 * e
+    g = 1.164 * c - 0.392 * d - 0.813 * e
+    b = 1.164 * c + 2.017 * d
+    return jnp.stack([b, g, r], axis=-1)
 
 
 def pad_bucket() -> int:
@@ -107,15 +142,19 @@ class LamaInpainter:
 
         self._forward = cached_jit(fwd)
 
-        def band_fwd(params, img_u8, mask_u8, r0, out_h, out_w):
-            # Band-path forward: composite on device (mask interior gets the
-            # prediction, everything else the ORIGINAL uint8 pixels) and ship
-            # only the ``out_h`` rows from ``r0`` that cover the mask — D2H
-            # was ~13 ms/frame of a 69 ms/frame budget at full-band fetch.
-            # r0 is a dynamic scalar so one program serves any mask position;
-            # out_h is static, bucketed by the caller. The composite makes
-            # every fetched non-mask pixel exactly the input, so paste-back
-            # is a plain row-slice assignment.
+        def band_fwd(params, raw_u8, mask_u8, r0, out_h, out_w, codec):
+            # Band-path forward: decode the upload codec, run the model, and
+            # ship only the ``out_h`` rows from ``r0`` that cover the mask —
+            # D2H was ~13 ms/frame of a 69 ms/frame budget at full-band
+            # fetch. r0 is a dynamic scalar so one program serves any mask
+            # position; out_h/codec are static. Non-mask pixels are restored
+            # bit-exact on the host (paste blends only mask pixels), so the
+            # fetched rows only need to be right INSIDE the mask.
+            if codec == "i420":
+                bgr = _i420_to_bgr_device(raw_u8)
+                img_u8 = jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)
+            else:
+                img_u8 = raw_u8
             img = img_u8.astype(jnp.float32) / 255.0
             mskb = mask_u8 > 0                       # [1, H, W, 1]
             msk = jnp.broadcast_to(mskb.astype(jnp.float32),
@@ -126,7 +165,7 @@ class LamaInpainter:
             rows = jax.lax.dynamic_slice_in_dim(comp, r0, out_h, axis=1)
             return rows[:, :, :out_w]
 
-        self._band_forward = cached_jit(band_fwd, static_argnums=(4, 5))
+        self._band_forward = cached_jit(band_fwd, static_argnums=(4, 5, 6))
 
     # ---- core batched forward over a fixed shape bucket ----
     def _dispatch_batch(self, images: List[np.ndarray], masks: List[np.ndarray]):
@@ -225,8 +264,12 @@ class LamaInpainter:
         orig_h, orig_w = ymax - ymin, out[0].shape[1]
 
         full_band = os.environ.get("VSR_LAMA_BAND_D2H", "masked") == "full"
+        # full-band compat mode implies exact uploads: it exists to reproduce
+        # the reference's band overwrite byte-for-byte
+        codec = "bgr" if full_band else h2d_codec()
         if full_band:
             r0 = 0
+            hole3 = None
         else:
             mrows = np.nonzero(mask[ymin:ymax, :, 0].any(axis=1))[0]
             if len(mrows) == 0:
@@ -235,9 +278,16 @@ class LamaInpainter:
             # dynamic arg so mask position never recompiles
             out_h = min(orig_h, (int(mrows[-1] - mrows[0]) // 64 + 1) * 64)
             r0 = max(0, min(int(mrows[0]), orig_h - out_h))
+            hole3 = mask[ymin + r0 : ymin + r0 + out_h] > 0  # [out_h, W, 1]
 
         q: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
+
+        def encode(c: np.ndarray) -> np.ndarray:
+            padded = pad_to_modulo(c, bucket)
+            if codec == "i420":
+                return cv2.cvtColor(padded, cv2.COLOR_BGR2YUV_I420)
+            return padded
 
         def uploader() -> None:
             try:
@@ -249,7 +299,7 @@ class LamaInpainter:
                     k = len(chunk)
                     if k < B:  # pad the tail: one program per bucket
                         chunk = chunk + [chunk[-1]] * (B - k)
-                    arr = np.stack([pad_to_modulo(c, bucket) for c in chunk])
+                    arr = np.stack([encode(c) for c in chunk])
                     q.put((jax.device_put(arr, dev), start, k))
                 q.put(None)
             except BaseException as e:  # surface in the consumer
@@ -265,15 +315,19 @@ class LamaInpainter:
                 for i in range(k):
                     out[start + i][ymin:ymax] = arr[i, :orig_h, :orig_w]
             else:
+                # blend ONLY mask pixels: everything else stays the original
+                # frame byte-for-byte (the fetched non-mask pixels went
+                # through the upload codec and the device composite)
                 y0 = ymin + r0
                 for i in range(k):
-                    out[start + i][y0 : y0 + arr.shape[1]] = arr[i]
+                    np.copyto(out[start + i][y0 : y0 + arr.shape[1]],
+                              arr[i], where=hole3)
 
         def forward(d_img):
             if full_band:
                 return self._forward(self.params, d_img, d_mask)
             return self._band_forward(self.params, d_img, d_mask,
-                                      np.int32(r0), out_h, orig_w)
+                                      np.int32(r0), out_h, orig_w, codec)
 
         try:
             while True:
