@@ -131,6 +131,21 @@ class TestLamaGenerator:
         o2 = np.asarray(model.apply(params, img, m2))
         assert np.abs(o1 - o2).max() > 1e-6
 
+    @pytest.mark.parametrize("r0", [0, 1, 7, 9, 20, 32])
+    def test_out_rows_matches_full(self, tiny_lama, r0):
+        """Sliced decoder tail == rows of the full forward, bit-exact, at
+        interior and boundary-clamped offsets alike."""
+        model, params = tiny_lama
+        rng = np.random.default_rng(12)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 64, 48, 3)).astype(np.float32))
+        msk = jnp.zeros((1, 64, 48, 1)).at[:, 30:50, 8:40].set(1.0)
+        full = np.asarray(model.apply(params, img, msk))
+        out_h = 32
+        rows = np.asarray(model.apply(params, img, msk,
+                                      out_rows=(jnp.int32(r0), out_h)))
+        assert rows.shape == (1, out_h, 48, 3)
+        np.testing.assert_array_equal(rows, full[:, r0:r0 + out_h])
+
 
 class TestPadToModulo:
     def test_already_aligned(self):
@@ -189,6 +204,10 @@ class TestLamaInpainterWrapper:
         mask[80:92, 20:110] = 255
 
         monkeypatch.setenv("VSR_LAMA_H2D", "bgr")  # isolate D2H semantics
+        # align the full-band compat mode to the band path's mod-8 padding
+        # (the reference's own rule): the padded rows are model CONTEXT, so
+        # hole predictions only agree when both modes see the same geometry
+        monkeypatch.setenv("VSR_LAMA_BUCKET", "8")
         monkeypatch.setenv("VSR_LAMA_BAND_D2H", "full")
         full = inpainter([f.copy() for f in frames], mask)
         monkeypatch.setenv("VSR_LAMA_BAND_D2H", "masked")
@@ -253,6 +272,72 @@ class TestLamaInpainterWrapper:
         cv2_dec = _cv2.cvtColor(i420, _cv2.COLOR_YUV2BGR_I420)
         assert np.abs(dec.astype(int) - cv2_dec.astype(int)).max() <= 1
         assert np.abs(dec.astype(int) - band.astype(int)).max() <= 1
+
+    def test_bgr_to_i420_device_roundtrip(self):
+        """The device BGR->I420 encoder is a faithful inverse of cv2's
+        decoder: cv2-decoding its output lands within ±3 of the original
+        for smooth (video-like) content. Only synthesized hole pixels ever
+        travel through it (non-mask pixels are restored host-side)."""
+        import cv2 as _cv2
+
+        from vsr_tpu.inpaint.lama import _bgr_to_i420_device
+
+        rng = np.random.default_rng(10)
+        rows = _cv2.GaussianBlur(
+            rng.integers(0, 256, (64, 128, 3), dtype=np.uint8), (0, 0), 2)
+        enc = np.asarray(_bgr_to_i420_device(jnp.asarray(rows)[None]))[0]
+        assert enc.shape == (96, 128)
+        dec = _cv2.cvtColor(enc, _cv2.COLOR_YUV2BGR_I420)
+        # chroma went through one 2x2 subsample; compare against the same
+        # projection done wholly by cv2
+        ref = _cv2.cvtColor(_cv2.cvtColor(rows, _cv2.COLOR_BGR2YUV_I420),
+                            _cv2.COLOR_YUV2BGR_I420)
+        assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 3
+
+    def test_band_i420_d2h(self, inpainter, monkeypatch):
+        """Default i420 D2H: non-mask pixels stay bit-exact to the input and
+        the hole equals cv2's own 4:2:0 projection of the exact-BGR rows
+        within coefficient-rounding error (the codec is lossy on chroma by
+        design — a direct comparison to the BGR path is only meaningful
+        through the same projection; the tiny random model here emits
+        chroma noise, the worst case)."""
+        import cv2 as _cv2
+
+        from vsr_tpu.masks.solver import get_inpaint_area_by_mask
+
+        rng = np.random.default_rng(13)
+        frames = [rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        mask = np.zeros((96, 128), np.uint8)
+        mask[80:92, 20:110] = 255
+        hole = mask > 0
+
+        monkeypatch.setenv("VSR_LAMA_H2D", "bgr")  # isolate the D2H codec
+        monkeypatch.setenv("VSR_LAMA_BAND_D2H", "i420")
+        got = inpainter([f.copy() for f in frames], mask)
+        monkeypatch.setenv("VSR_LAMA_BAND_D2H", "bgr")
+        exact = inpainter([f.copy() for f in frames], mask)
+
+        # reconstruct the wrapper's D2H row window (chroma blocks align to
+        # its origin)
+        split_h = int(128 * 3 / 16)
+        ymin, ymax = get_inpaint_area_by_mask(
+            128, 96, split_h, mask[:, :, None])[0][:2]
+        mrows = np.nonzero(mask[ymin:ymax].any(axis=1))[0]
+        out_h = min(ymax - ymin,
+                    (int(mrows[-1] - mrows[0]) // 64 + 1) * 64)
+        y0 = ymin + max(0, min(int(mrows[0]), (ymax - ymin) - out_h))
+
+        win = slice(y0, y0 + out_h)
+        hole_w = hole[win]
+        for src, g, e in zip(frames, got, exact):
+            np.testing.assert_array_equal(g[~hole], src[~hole])
+            proj = _cv2.cvtColor(
+                _cv2.cvtColor(e[win], _cv2.COLOR_BGR2YUV_I420),
+                _cv2.COLOR_YUV2BGR_I420)
+            d = np.abs(g[win][hole_w].astype(int)
+                       - proj[hole_w].astype(int)).max()
+            assert d <= 3, f"i420 D2H vs cv2 projection: max delta {d}"
 
     def test_batch_tail_padding(self, inpainter):
         rng = np.random.default_rng(6)

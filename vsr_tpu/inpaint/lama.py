@@ -55,6 +55,50 @@ def h2d_codec() -> str:
     return os.environ.get("VSR_LAMA_H2D", "i420")
 
 
+def d2h_codec() -> str:
+    """Download format for the band-path composite rows.
+
+    'i420' (default): rows cross the tunnel as YUV 4:2:0 — half the bytes
+    of BGR on the ~25-70 MB/s link. Pixels OUTSIDE the mask are restored
+    byte-exact on host regardless (paste blends only mask pixels), so the
+    codec touches only synthesized hole content, where the ±2 uint8
+    round-trip error is invisible. 'bgr' ships exact BGR rows (the e2e
+    reference differential pins parity under it); 'full' is the legacy
+    whole-band reference-overwrite mode (see _inpaint_band). The historic
+    value 'masked' is accepted as an alias of 'bgr'."""
+    v = os.environ.get("VSR_LAMA_BAND_D2H", "i420")
+    return "bgr" if v == "masked" else v
+
+
+def band_pad_bucket() -> int:
+    """Shape bucket for the VIDEO band path (the picture path keeps
+    pad_bucket()=64). Band heights are deterministic per resolution
+    (split_h = W*3/16), so mod-8 padding — the reference's own rule — costs
+    one program per video resolution, same as bucket-64, while dropping the
+    dead padded rows bucket-64 added (240->256 at 720p: 6.7% of H2D bytes
+    and FFC compute for rows the model never returns)."""
+    return int(os.environ.get("VSR_LAMA_BAND_BUCKET", "8"))
+
+
+def _bgr_to_i420_device(x: "jnp.ndarray") -> "jnp.ndarray":
+    """[B, h, W, 3] uint8 BGR -> [B, h*3/2, W] uint8 I420 planes (BT.601
+    limited range, top-left-of-2x2 chroma like cv2.COLOR_BGR2YUV_I420 —
+    verified against it in tests/test_lama.py) — the inverse of
+    _i420_to_bgr_device / cv2.COLOR_YUV2BGR_I420, for shipping composite
+    rows at 1.5 bytes/px. Requires h % 4 == 0 and W % 2 == 0 (the caller
+    falls back to 'bgr' otherwise)."""
+    f = x.astype(jnp.float32)
+    b, g, r = f[..., 0], f[..., 1], f[..., 2]
+    y = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) * (1.0 / 256.0)
+    bs, gs, rs = b[:, ::2, ::2], g[:, ::2, ::2], r[:, ::2, ::2]
+    u = 128.0 + (-37.945 * rs - 74.494 * gs + 112.439 * bs) * (1.0 / 256.0)
+    v = 128.0 + (112.439 * rs - 94.154 * gs - 18.285 * bs) * (1.0 / 256.0)
+    B, h, W = y.shape
+    pack = jnp.concatenate(
+        [y, u.reshape(B, h // 4, W), v.reshape(B, h // 4, W)], axis=1)
+    return jnp.clip(jnp.round(pack), 0, 255).astype(jnp.uint8)
+
+
 def _i420_to_bgr_device(x: "jnp.ndarray") -> "jnp.ndarray":
     """[B, H*3/2, W] uint8 I420 planes -> [B, H, W, 3] float32 BGR (0..255).
 
@@ -142,14 +186,16 @@ class LamaInpainter:
 
         self._forward = cached_jit(fwd)
 
-        def band_fwd(params, raw_u8, mask_u8, r0, out_h, out_w, codec):
-            # Band-path forward: decode the upload codec, run the model, and
-            # ship only the ``out_h`` rows from ``r0`` that cover the mask —
-            # D2H was ~13 ms/frame of a 69 ms/frame budget at full-band
-            # fetch. r0 is a dynamic scalar so one program serves any mask
-            # position; out_h/codec are static. Non-mask pixels are restored
-            # bit-exact on the host (paste blends only mask pixels), so the
-            # fetched rows only need to be right INSIDE the mask.
+        def band_fwd(params, raw_u8, mask_u8, r0, out_h, out_w, codec, d2h):
+            # Band-path forward: decode the upload codec, run the model —
+            # with its upsampling tail computed only for the ``out_h`` rows
+            # from ``r0`` that cover the mask (models/lama.py out_rows) —
+            # composite on device, and ship only those rows, optionally
+            # re-packed as I420 (half the D2H bytes). r0 is a dynamic scalar
+            # so one program serves any mask position; out_h/out_w/codec/d2h
+            # are static. Non-mask pixels are restored bit-exact on the host
+            # (paste blends only mask pixels), so the fetched rows only need
+            # to be right INSIDE the mask.
             if codec == "i420":
                 bgr = _i420_to_bgr_device(raw_u8)
                 img_u8 = jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)
@@ -159,13 +205,23 @@ class LamaInpainter:
             mskb = mask_u8 > 0                       # [1, H, W, 1]
             msk = jnp.broadcast_to(mskb.astype(jnp.float32),
                                    img.shape[:3] + (1,))
-            pred = self.model.apply(params, img, msk)
+            r0 = jnp.asarray(r0)
+            if out_h % 2 == 0:
+                pred = self.model.apply(params, img, msk,
+                                        out_rows=(r0, out_h))
+            else:  # odd out_h (non-standard band height): full-output path
+                pred = self.model.apply(params, img, msk)
+                pred = jax.lax.dynamic_slice_in_dim(pred, r0, out_h, axis=1)
             pred_u8 = jnp.clip(pred * 255.0, 0, 255).astype(jnp.uint8)
-            comp = jnp.where(mskb, pred_u8, img_u8)
-            rows = jax.lax.dynamic_slice_in_dim(comp, r0, out_h, axis=1)
-            return rows[:, :, :out_w]
+            img_rows = jax.lax.dynamic_slice_in_dim(img_u8, r0, out_h, axis=1)
+            msk_rows = jax.lax.dynamic_slice_in_dim(mskb, r0, out_h, axis=1)
+            comp = jnp.where(msk_rows, pred_u8, img_rows)[:, :, :out_w]
+            if d2h == "i420":
+                comp = _bgr_to_i420_device(comp)
+            return comp
 
-        self._band_forward = cached_jit(band_fwd, static_argnums=(4, 5, 6))
+        self._band_forward = cached_jit(band_fwd,
+                                        static_argnums=(4, 5, 6, 7))
 
     # ---- core batched forward over a fixed shape bucket ----
     def _dispatch_batch(self, images: List[np.ndarray], masks: List[np.ndarray]):
@@ -256,14 +312,16 @@ class LamaInpainter:
         under that flag).
         """
         dev = jax.devices()[0]
-        bucket = pad_bucket()
         B = band_batch()
         n = len(out)
-        d_mask = jax.device_put(
-            pad_to_modulo(mask[ymin:ymax], bucket)[None], dev)
         orig_h, orig_w = ymax - ymin, out[0].shape[1]
 
-        full_band = os.environ.get("VSR_LAMA_BAND_D2H", "masked") == "full"
+        d2h = d2h_codec()
+        full_band = d2h == "full"
+        bucket = pad_bucket() if full_band else band_pad_bucket()
+        d_mask = jax.device_put(
+            pad_to_modulo(mask[ymin:ymax], bucket)[None], dev)
+
         # full-band compat mode implies exact uploads: it exists to reproduce
         # the reference's band overwrite byte-for-byte
         codec = "bgr" if full_band else h2d_codec()
@@ -279,6 +337,8 @@ class LamaInpainter:
             out_h = min(orig_h, (int(mrows[-1] - mrows[0]) // 64 + 1) * 64)
             r0 = max(0, min(int(mrows[0]), orig_h - out_h))
             hole3 = mask[ymin + r0 : ymin + r0 + out_h] > 0  # [out_h, W, 1]
+            if d2h == "i420" and (out_h % 4 or orig_w % 2):
+                d2h = "bgr"  # I420 needs h%4 (plane packing) and even W
 
         q: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
@@ -317,17 +377,21 @@ class LamaInpainter:
             else:
                 # blend ONLY mask pixels: everything else stays the original
                 # frame byte-for-byte (the fetched non-mask pixels went
-                # through the upload codec and the device composite)
+                # through the upload/download codecs and the device composite)
                 y0 = ymin + r0
                 for i in range(k):
-                    np.copyto(out[start + i][y0 : y0 + arr.shape[1]],
-                              arr[i], where=hole3)
+                    rows = arr[i]
+                    if d2h == "i420":
+                        rows = cv2.cvtColor(rows, cv2.COLOR_YUV2BGR_I420)
+                    np.copyto(out[start + i][y0 : y0 + out_h],
+                              rows, where=hole3)
 
         def forward(d_img):
             if full_band:
                 return self._forward(self.params, d_img, d_mask)
             return self._band_forward(self.params, d_img, d_mask,
-                                      np.int32(r0), out_h, orig_w, codec)
+                                      np.int32(r0), out_h, orig_w, codec,
+                                      d2h)
 
         try:
             while True:

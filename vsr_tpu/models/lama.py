@@ -246,12 +246,27 @@ class LamaGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, mask: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
-        """image [B,H,W,3] in [0,1]; mask [B,H,W,1] {0,1} -> [B,H,W,3] [0,1]."""
+                 train: bool = False, out_rows=None) -> jnp.ndarray:
+        """image [B,H,W,3] in [0,1]; mask [B,H,W,1] {0,1} -> [B,H,W,3] [0,1].
+
+        out_rows=(r0, out_h): return only rows [r0, r0+out_h) of the output
+        (r0 may be a traced scalar; out_h must be static and even). The
+        encoder/FFC trunk still sees every row (the spectral transform is
+        global), but the upsampling tail — whose final full-resolution convs
+        are ~half the forward's device time (head 7×7→3 alone was 53 ms of a
+        110 ms B=8 batch: 3 output lanes of 128 on the MXU) — is computed
+        only for the requested rows plus halo. Sliced rows are bit-identical
+        to the full forward (margins cover the transpose-conv and reflect-pad
+        edge effects; clamped slices coincide with the true image boundary),
+        pinned by tests/test_lama.py."""
         x = jnp.concatenate([image * (1.0 - mask), mask], axis=-1)
         x = x.astype(self.dtype)
 
-        # stem: reflect-pad 3 + 7x7 (all-local FFC degenerates to a conv)
+        # stem: reflect-pad 3 + 7x7 (all-local FFC degenerates to a conv).
+        # C_in=4 looks MXU-hostile but XLA's TPU conv emitter handles it
+        # fine (profiled round 4: 2.0 ms of a 110 ms B=8 forward; a
+        # space-to-depth phase-packed rewrite measured SLOWER, +8 ms of
+        # layout copies, and was removed)
         x = _reflect_pad(x, 3)
         x = nn.Conv(self.ngf, (7, 7), padding="VALID", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
@@ -278,8 +293,25 @@ class LamaGenerator(nn.Module):
 
         x = jnp.concatenate([x_l, x_g], axis=-1)
 
+        row_off = None
         for i in range(self.n_downsampling):
             feats = feats // 2
+            if out_rows is not None and i == self.n_downsampling - 1:
+                # Slice the half-resolution feature map to the rows the
+                # requested output window needs: out rows [r0, r0+out_h)
+                # read up-conv input rows ~[r0/2 - 2, (r0+out_h)/2 + 2) and
+                # the head adds 3 more at full res. An 8-row margin on each
+                # side (s0 = r0//2 - 4) covers both plus the transpose
+                # conv's 2-row edge effect; when the clamp binds, the slice
+                # edge IS the true image boundary, where the full model's
+                # padding semantics apply identically.
+                r0, out_h = out_rows
+                assert out_h % 2 == 0, "out_rows height must be even"
+                h_half = x.shape[1]
+                slice_h = min(h_half, out_h // 2 + 8)
+                s0 = jnp.clip(jnp.asarray(r0) // 2 - 4, 0, h_half - slice_h)
+                x = jax.lax.dynamic_slice_in_dim(x, s0, slice_h, axis=1)
+                row_off = jnp.asarray(r0) - 2 * s0
             # torch ConvTranspose2d(k3, s2, p1, output_padding=1) == flax
             # ConvTranspose with explicit ((1,2),(1,2)) padding and
             # transpose_kernel=True (validated in tests/test_lama.py). Bias on,
@@ -295,4 +327,8 @@ class LamaGenerator(nn.Module):
         x = _reflect_pad(x, 3)
         x = nn.Conv(3, (7, 7), padding="VALID", dtype=self.dtype,
                     param_dtype=jnp.float32, name="head")(x)
-        return nn.sigmoid(x.astype(jnp.float32))
+        out = nn.sigmoid(x.astype(jnp.float32))
+        if row_off is not None:
+            out = jax.lax.dynamic_slice_in_dim(out, row_off, out_rows[1],
+                                               axis=1)
+        return out
