@@ -47,6 +47,22 @@ def test_cached_jit_static_args():
     assert len(cj._compiled) == 2
 
 
+def test_sig_memo_detects_inplace_mutation():
+    """ADVICE r4: a memoized big pytree (same object id) mutated in place
+    with a differently-shaped leaf must NOT reuse its stale signature — that
+    would dispatch an executable compiled for the old shapes."""
+    cj = cached_jit(lambda p, x: x * p["k0"][0, 0])
+    params = {f"k{i}": jnp.ones((2, 2)) for i in range(20)}  # >16 leaves
+    x = jnp.arange(4.0)
+    cj(params, x)
+    assert id(params) in cj._sig_memo
+    cj(params, x)
+    assert len(cj._compiled) == 1
+    params["k0"] = jnp.ones((3, 3))  # in-place rebind, id(params) unchanged
+    cj(params, x)
+    assert len(cj._compiled) == 2  # new program, not a stale-shape dispatch
+
+
 def test_compile_cached_plain():
     jitted = jax.jit(lambda x: jnp.tanh(x) + 1)
     compiled = compile_cached(jitted, jnp.zeros((4,)))

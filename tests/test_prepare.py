@@ -131,6 +131,20 @@ class TestPrepare:
         assert results["sttn-auto"].startswith("error")
         assert results["sttn-det"] == "converted"
 
+    def test_corrupt_split_blob_is_an_error_not_missing(self, tmp_path):
+        """ADVICE r4: a failed split-blob merge must surface as 'error: ...'
+        for the affected families so the CLI exits nonzero, instead of the
+        benign 'missing' a user would read as 'no checkpoint provided'."""
+        src = tmp_path / "models"
+        _write_split(str(src / "big-lama"), "big-lama.pt", b"blobdata", 3)
+        os.remove(str(src / "big-lama" / "big-lama_2.pt"))  # corrupt the set
+        results = prepare_models(
+            str(src), str(tmp_path / "npz"),
+            convert_fn=lambda f, p: {"params": {}}, log=lambda s: None)
+        assert results["lama"].startswith("error: split-blob merge failed")
+        # unrelated families keep plain 'missing'
+        assert results["sttn-auto"] == "missing"
+
     def test_real_sttn_auto_conversion(self, tmp_path):
         """End-to-end with a REAL synthetic reference checkpoint: a torch
         STTN state dict saved under the reference layout converts into an

@@ -19,7 +19,6 @@ torch's stack+view so converted weights keep their meaning.
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
 from typing import Tuple
 
@@ -110,11 +109,17 @@ def _bn(train: bool, dtype, name: str):
 class FourierUnit(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
+    # FFT backend ("matmul" | "xla"), pinned at module construction. The
+    # wrapper resolves VSR_LAMA_FFT ONCE when it builds the generator; an env
+    # var flipped later in a live process cannot affect programs already
+    # compiled through cached_jit (its key ignores the environment), so
+    # reading it at trace time would silently mislead A/B runs.
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
-        use_matmul = os.environ.get("VSR_LAMA_FFT", "matmul") != "xla"
+        use_matmul = self.fft_impl != "xla"
         if use_matmul:
             re, im = _rfft2_matmul(x.astype(jnp.float32))
         else:
@@ -140,6 +145,7 @@ class FourierUnit(nn.Module):
 class SpectralTransform(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -148,7 +154,7 @@ class SpectralTransform(nn.Module):
                     param_dtype=jnp.float32, name="conv1")(x)
         x = _bn(train, self.dtype, "bn1")(x)
         x = nn.relu(x)
-        fu = FourierUnit(half, self.dtype, name="fu")(x, train)
+        fu = FourierUnit(half, self.dtype, self.fft_impl, name="fu")(x, train)
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="conv2")(x + fu)
         return out
@@ -163,6 +169,7 @@ class FFC(nn.Module):
     ratio_gin: float = 0.0
     ratio_gout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x_l: jnp.ndarray, x_g, train: bool = False):
@@ -190,7 +197,8 @@ class FFC(nn.Module):
         if out_g:
             yg = conv(out_g, "l2g")(x_l)
             if has_g_in:
-                yg = yg + SpectralTransform(out_g, self.dtype, name="g2g")(x_g, train)
+                yg = yg + SpectralTransform(out_g, self.dtype, self.fft_impl,
+                                            name="g2g")(x_g, train)
         return yl, yg
 
 
@@ -202,11 +210,13 @@ class FFCBnAct(nn.Module):
     ratio_gout: float = 0.0
     act: bool = True
     dtype: jnp.dtype = jnp.float32
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool = False):
         yl, yg = FFC(self.features, self.kernel, self.stride, self.ratio_gin,
-                     self.ratio_gout, self.dtype, name="ffc")(x_l, x_g, train)
+                     self.ratio_gout, self.dtype, self.fft_impl,
+                     name="ffc")(x_l, x_g, train)
         if yl is not None:
             yl = _bn(train, self.dtype, "bn_l")(yl)
             if self.act:
@@ -222,14 +232,17 @@ class FFCResnetBlock(nn.Module):
     features: int
     ratio: float = 0.75
     dtype: jnp.dtype = jnp.float32
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool = False):
         id_l, id_g = x_l, x_g
         x_l, x_g = FFCBnAct(self.features, 3, 1, self.ratio, self.ratio,
-                            dtype=self.dtype, name="conv1")(x_l, x_g, train)
+                            dtype=self.dtype, fft_impl=self.fft_impl,
+                            name="conv1")(x_l, x_g, train)
         x_l, x_g = FFCBnAct(self.features, 3, 1, self.ratio, self.ratio,
-                            dtype=self.dtype, name="conv2")(x_l, x_g, train)
+                            dtype=self.dtype, fft_impl=self.fft_impl,
+                            name="conv2")(x_l, x_g, train)
         return id_l + x_l, id_g + x_g
 
 
@@ -243,6 +256,7 @@ class LamaGenerator(nn.Module):
     n_blocks: int = 18
     global_ratio: float = 0.75
     dtype: jnp.dtype = jnp.float32
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, mask: jnp.ndarray,
@@ -283,12 +297,13 @@ class LamaGenerator(nn.Module):
                 feats, 3, 2,
                 ratio_gin=0.0,
                 ratio_gout=self.global_ratio if last else 0.0,
-                dtype=self.dtype, name=f"down{i}",
+                dtype=self.dtype, fft_impl=self.fft_impl, name=f"down{i}",
             )(x_l, x_g, train)
 
         for b in range(self.n_blocks):
             x_l, x_g = FFCResnetBlock(
-                feats, self.global_ratio, self.dtype, name=f"block{b}"
+                feats, self.global_ratio, self.dtype, self.fft_impl,
+                name=f"block{b}"
             )(x_l, x_g, train)
 
         x = jnp.concatenate([x_l, x_g], axis=-1)

@@ -102,6 +102,7 @@ def prepare_models(
     os.makedirs(out_dir, exist_ok=True)
 
     # split blobs live beside their manifests (big-lama/, propainter/)
+    merge_errors: Dict[str, str] = {}
     for sub in ("big-lama", "propainter"):
         d = os.path.join(src_dir, sub)
         if os.path.isdir(d):
@@ -110,6 +111,9 @@ def prepare_models(
                 if merged:
                     log(f"[prepare] merged split blob: {merged}")
             except (FileNotFoundError, IOError) as e:
+                # recorded per family below: a corrupt/incomplete split blob
+                # must fail the CLI, not report as a benign "missing"
+                merge_errors[sub] = str(e)
                 log(f"[prepare] split-blob merge failed in {d}: {e}")
 
     from vsr_tpu.convert.params_io import load_params, save_params
@@ -121,8 +125,15 @@ def prepare_models(
         src = os.path.join(src_dir, rel)
         dst = os.path.join(out_dir, out_name)
         if not os.path.exists(src):
-            results[family] = "missing"
-            log(f"[prepare] {family}: MISSING {rel}")
+            sub = rel.split("/", 1)[0]
+            if sub in merge_errors:
+                results[family] = (
+                    f"error: split-blob merge failed: {merge_errors[sub]}")
+                log(f"[prepare] {family}: FAILED (split-blob merge: "
+                    f"{merge_errors[sub]})")
+            else:
+                results[family] = "missing"
+                log(f"[prepare] {family}: MISSING {rel}")
             continue
         if (os.path.exists(dst)
                 and os.path.getmtime(dst) >= os.path.getmtime(src)):

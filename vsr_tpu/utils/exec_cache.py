@@ -79,18 +79,40 @@ class cached_jit:
             return (tuple(shape), str(getattr(leaf, "dtype", "")))
         return ("pyleaf", type(leaf).__name__)
 
+    @staticmethod
+    def _probe(arg):
+        """O(depth) mutation sentinel for a memoized pytree: container sizes
+        along the first-child path plus the identity and shape of the leaf it
+        ends at. Catches in-place rebinds of a memoized params dict (the
+        memo's identity guard alone would miss a mutated-in-place tree whose
+        id is unchanged); trees must otherwise be rebound, never mutated."""
+        node = arg
+        sig = []
+        for _ in range(16):
+            if isinstance(node, dict) and node:
+                sig.append(len(node))
+                node = next(iter(node.values()))
+            elif isinstance(node, (list, tuple)) and node:
+                sig.append(len(node))
+                node = node[0]
+            else:
+                break
+        shape = getattr(node, "shape", None)
+        sig.append((id(node), None if shape is None else tuple(shape)))
+        return tuple(sig)
+
     def _arg_sig(self, i, arg):
         if i in self._static:
             return ("static", repr(arg))
         memo = self._sig_memo.get(id(arg))
-        if memo is not None and memo[0] is arg:
+        if memo is not None and memo[0] is arg and memo[2] == self._probe(arg):
             return memo[1]
         leaves, treedef = jax.tree_util.tree_flatten(arg)
         sig = (str(treedef), tuple(self._leaf_sig(l) for l in leaves))
         if len(leaves) > 16:  # only big trees are worth memoizing
             if len(self._sig_memo) >= 8:
                 self._sig_memo.pop(next(iter(self._sig_memo)))
-            self._sig_memo[id(arg)] = (arg, sig)
+            self._sig_memo[id(arg)] = (arg, sig, self._probe(arg))
         return sig
 
     def __call__(self, *args, **kwargs):
