@@ -109,8 +109,16 @@ class PropainterInpainter:
         config: Optional[Config] = None,
         generator_kwargs: Optional[dict] = None,
         raft_kwargs: Optional[dict] = None,
+        mesh=None,
     ):
         self.config = config or Config()
+        # Multi-chip (SURVEY §2c temporal-window sharding): with a mesh the
+        # static window sweep batches windows in multiples of the 'data'
+        # axis and shards the generator's window-batch dimension over it —
+        # the same CP-analog the STTN engine uses (engine.py mesh mode).
+        # Stages 1-3 stay single-program (sequential scans over time); the
+        # transformer sweep is where the FLOPs are.
+        self.mesh = mesh
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
         self.sub_video_length = self.config.propainter_subvideo_length
         self.neighbor_stride = self.config.propainter_neighbor_length // 2
@@ -323,9 +331,35 @@ class PropainterInpainter:
             return None
         return (int(rows[0]), int(rows[-1]) + 1)
 
+    def _masked_window_set(self, mask2d: np.ndarray):
+        """Hole-bearing attention-window indices for a frame-constant mask —
+        the static window-skip set (VERDICT r4 #3). Replicates the generator's
+        mask-token geometry on host: nearest /4 downsample, maxpool k7 s3 p3
+        (forward_encoded), ceil window partition (SparseWindowAttention).
+        Returns None when every window bears mask (the skip would be a no-op)
+        — the attention then runs its original single-einsum program."""
+        wh, ww = self.generator.window_size
+        m = (np.asarray(mask2d) > 0)[::4, ::4]
+        mp = np.pad(m, 3, constant_values=False)
+        fh = (mp.shape[0] - 7) // 3 + 1
+        fw = (mp.shape[1] - 7) // 3 + 1
+        pooled = np.zeros((fh, fw), bool)
+        for i in range(fh):
+            for j in range(fw):
+                pooled[i, j] = mp[3 * i : 3 * i + 7, 3 * j : 3 * j + 7].any()
+        nwh, nww = -(-fh // wh), -(-fw // ww)
+        padded = np.zeros((nwh * wh, nww * ww), bool)
+        padded[:fh, :fw] = pooled
+        occ = padded.reshape(nwh, wh, nww, ww).max(axis=(1, 3)).reshape(-1)
+        idx = np.nonzero(occ)[0].astype(np.int32)
+        if len(idx) == 0 or len(idx) == occ.size:
+            return None
+        return idx
+
     def _window_compose(self, params, enc_all, comp_f, comp_b,
                         masks_dilated, updated_masks, rgb_u8, comp, written,
-                        sel, pair_ids, valid, safe_neighbor_ids):
+                        sel, pair_ids, valid, safe_neighbor_ids,
+                        masked_windows=None):
         """A GROUP of static windows fully on device: batched generator ->
         reference uint8 0.5/0.5 composites applied in window order.
 
@@ -343,6 +377,15 @@ class PropainterInpainter:
         the final composited video.
         """
         NW, n_max = safe_neighbor_ids.shape
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("data"))
+            sel = jax.lax.with_sharding_constraint(sel, shard)
+            valid = jax.lax.with_sharding_constraint(valid, shard)
+            pair_ids = jax.lax.with_sharding_constraint(pair_ids, shard)
+            safe_neighbor_ids = jax.lax.with_sharding_constraint(
+                safe_neighbor_ids, shard)
         vmask = valid[:, :, None, None, None].astype(masks_dilated.dtype)
         enc = enc_all[0][sel]                         # [NW, L, h, w, C]
         m = masks_dilated[sel] * vmask
@@ -352,6 +395,7 @@ class PropainterInpainter:
         sel_flows = (comp_f[pair_ids] * pv, comp_b[pair_ids] * pv)
         pred = self.generator.apply(params, enc, sel_flows, m, mu, n_max,
                                     frame_valid=valid,
+                                    masked_windows=masked_windows,
                                     method="forward_encoded")  # [NW, n_max, ...]
         pred_u8 = jnp.clip((pred + 1.0) / 2.0 * 255.0, 0, 255
                            ).astype(jnp.uint8)
@@ -371,7 +415,8 @@ class PropainterInpainter:
         return comp, written
 
     def _run_stages(self, rgb, frames_n, flow_masks, masks_dilated,
-                    frames_bgr=None, out_rows=None) -> List[np.ndarray]:
+                    frames_bgr=None, out_rows=None,
+                    host_mask2d=None) -> List[np.ndarray]:
         T = len(frames_n)
 
         # 1) optical flow (fp32)
@@ -403,7 +448,8 @@ class PropainterInpainter:
             return self._run_windows_static(
                 rgb, masks_dilated, updated_frames, updated_masks,
                 comp_f, comp_b, windows, n_max, r_max, T,
-                frames_bgr=frames_bgr, out_rows=out_rows)
+                frames_bgr=frames_bgr, out_rows=out_rows,
+                host_mask2d=host_mask2d)
         return self._run_windows_dynamic(
             rgb, masks_dilated, updated_frames, updated_masks,
             comp_f, comp_b, windows, T)
@@ -411,7 +457,7 @@ class PropainterInpainter:
     def _run_windows_static(self, rgb, masks_dilated, updated_frames,
                             updated_masks, comp_f, comp_b, windows,
                             n_max, r_max, T, frames_bgr=None,
-                            out_rows=None) -> List[np.ndarray]:
+                            out_rows=None, host_mask2d=None) -> List[np.ndarray]:
         """Device-resident window sweep: one jitted program per clip shape,
         single D2H of the composited clip.
 
@@ -449,9 +495,26 @@ class PropainterInpainter:
                 neighbor_ids + [T] * n_pad, np.int32)  # pads -> trash row
             return sel, valid, pair_ids, safe_ids
 
+        # static window-skip set (frame-constant masks only — inpaint() and
+        # outpaint() both qualify; VSR_PP_NO_WINDOW_SKIP=1 forces the dense
+        # A/B path)
+        import os as _os
+
+        mw = None
+        if host_mask2d is not None and _os.environ.get(
+                "VSR_PP_NO_WINDOW_SKIP") != "1":
+            mw = self._masked_window_set(host_mask2d)
+        mw_dev = None if mw is None else jnp.asarray(mw)
+
         # WB windows share one batched generator call; the group tail pads
         # with dummy all-invalid windows (every row -> trash row T)
         WB = max(1, int(getattr(self.config, "propainter_window_batch", 2)))
+        if self.mesh is not None:
+            # one window-batch shard per data-axis device (dummies pad the
+            # tail; an all-invalid window writes only the trash row T)
+            n_dev = self.mesh.shape["data"]
+            WB = max(WB, math.ceil(len(windows) / n_dev))
+            WB = math.ceil(WB / n_dev) * n_dev
         dummy = (np.zeros(n_max + r_max, np.int32),
                  np.zeros(n_max + r_max, bool),
                  np.zeros(n_max - 1, np.int32),
@@ -465,7 +528,7 @@ class PropainterInpainter:
                 self.gen_params, enc_all, comp_f, comp_b,
                 masks_dilated, updated_masks, rgb_u8, comp, written,
                 jnp.asarray(sel), jnp.asarray(pair_ids), jnp.asarray(valid),
-                jnp.asarray(safe_ids))
+                jnp.asarray(safe_ids), mw_dev)
         if out_rows is not None and frames_bgr is not None:
             r0, r1 = out_rows
             rows = np.asarray(comp[:T, r0:r1])  # the stage's single D2H
@@ -568,7 +631,8 @@ class PropainterInpainter:
                 jnp.asarray(mask_dilated, jnp.float32)[None, :, :, None],
                 (T, *mask_dilated.shape, 1)),
             frames_bgr=frames_bgr,
-            out_rows=self._mask_rows(mask_dilated))
+            out_rows=self._mask_rows(mask_dilated),
+            host_mask2d=mask_dilated)
 
     # ---- band video path (ref :363-418) ----
     def __call__(self, input_frames: List[np.ndarray], input_mask: np.ndarray) -> List[np.ndarray]:

@@ -402,11 +402,24 @@ class SparseWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, t_ind: Optional[np.ndarray] = None,
-                 frame_valid: Optional[jnp.ndarray] = None):
+                 frame_valid: Optional[jnp.ndarray] = None,
+                 masked_windows: Optional[jnp.ndarray] = None):
         """x [B, T, H, W, C]; mask [B, lt, H, W, 1]; t_ind: static frame
         subset for temporal-dilated keys; frame_valid: [B, T] bool — invalid
         (padded) frames are removed from the masked branch's key set (their
         own outputs are garbage and discarded by the caller).
+
+        masked_windows: optional [nM] window indices — the WINDOW-SKIP path
+        (the optimization the round-4 header called "planned"): the expensive
+        masked branch (full spatio-temporal attention over T x (win + rolled
+        + pooled) keys, ~99% of attention FLOPs) runs only for these windows
+        and scatters into the cheap spatial branch's output. For the video
+        band path the mask is constant per band, so the wrapper computes the
+        hole-bearing window set ON HOST (inpaint/propainter.py) — an XLA
+        static-shape gather, no Pallas needed (and none of this build's
+        Mosaic lowering hazards). Must equal the occupancy test below for
+        every window whose output is kept; pinned by
+        tests/test_propainter.py::test_window_skip_matches_dense.
         Returns [B, T, H, W, C]."""
         B, T, H, W, C = x.shape
         wh, ww = self.window_size
@@ -484,11 +497,18 @@ class SparseWindowAttention(nn.Module):
             keys_t = keys
             vals_t = vals
             valid_t = frame_valid
+        if masked_windows is not None:  # window-skip: nM of nW windows
+            keys_t = keys_t[:, masked_windows]
+            vals_t = vals_t[:, masked_windows]
+            q_m = win_q[:, masked_windows]
+        else:
+            q_m = win_q
+        nM = keys_t.shape[1]
         n_tok_per_frame = keys_t.shape[4]
         Nk = keys_t.shape[3] * n_tok_per_frame
-        kt = keys_t.reshape(B, nW, head, Nk, ch)
-        vt = vals_t.reshape(B, nW, head, Nk, ch)
-        qt = win_q.reshape(B, nW, head, T * S, ch)
+        kt = keys_t.reshape(B, nM, head, Nk, ch)
+        vt = vals_t.reshape(B, nM, head, Nk, ch)
+        qt = q_m.reshape(B, nM, head, T * S, ch)
         att = jnp.einsum("bwhnc,bwhmc->bwhnm", qt, kt,
                          preferred_element_type=jnp.float32) / math.sqrt(ch)
         if valid_t is not None:
@@ -498,7 +518,7 @@ class SparseWindowAttention(nn.Module):
         att = jax.nn.softmax(att, axis=-1).astype(vt.dtype)
         out_masked = jnp.einsum("bwhnm,bwhmc->bwhnc", att, vt,
                                 preferred_element_type=jnp.float32)
-        out_masked = out_masked.reshape(B, nW, head, T, S, ch)
+        out_masked = out_masked.reshape(B, nM, head, T, S, ch)
 
         # ---- unmasked-window branch: per-frame spatial attention ----
         att_s = jnp.einsum("bwhtsc,bwhtuc->bwhtsu", win_q, win_k,
@@ -507,13 +527,22 @@ class SparseWindowAttention(nn.Module):
         out_spatial = jnp.einsum("bwhtsu,bwhtuc->bwhtsc", att_s, win_v,
                                  preferred_element_type=jnp.float32)
 
-        # ---- per-window selection by mask occupancy (ref :227-269) ----
-        lt = mask.shape[1]
-        mwin = mask[..., 0].reshape(B, lt, nwh, wh, nww, ww)
-        occupancy = mwin.max(axis=(3, 5)).sum(axis=1).reshape(B, nW)  # [B, nW]
-        is_masked = occupancy > 0
-        out = jnp.where(is_masked[:, :, None, None, None, None],
-                        out_masked, out_spatial).astype(self.dtype)
+        if masked_windows is not None:
+            # scatter the masked-branch outputs over the spatial baseline;
+            # equals the dense `where` whenever masked_windows matches the
+            # occupancy test for every kept output (the band mask is
+            # frame-constant, so it does — dummy all-invalid pad windows are
+            # the only divergence and their outputs land in the trash row)
+            out = (out_spatial.astype(self.dtype)
+                   .at[:, masked_windows].set(out_masked.astype(self.dtype)))
+        else:
+            # ---- per-window selection by mask occupancy (ref :227-269) ----
+            lt = mask.shape[1]
+            mwin = mask[..., 0].reshape(B, lt, nwh, wh, nww, ww)
+            occupancy = mwin.max(axis=(3, 5)).sum(axis=1).reshape(B, nW)
+            is_masked = occupancy > 0
+            out = jnp.where(is_masked[:, :, None, None, None, None],
+                            out_masked, out_spatial).astype(self.dtype)
 
         # inverse partition
         out = out.reshape(B, nwh, nww, head, T, wh, ww, ch)
@@ -532,14 +561,16 @@ class TemporalSparseTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fold_hw, mask, t_ind=None, frame_valid=None):
+    def __call__(self, x, fold_hw, mask, t_ind=None, frame_valid=None,
+                 masked_windows=None):
         B, T, fh, fw, C = x.shape
         shortcut = x
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(x)
         att = SparseWindowAttention(
             self.dim, self.n_head, self.window_size, self.pool_size,
-            self.dtype, name="attention")(y, mask, t_ind, frame_valid)
+            self.dtype, name="attention")(y, mask, t_ind, frame_valid,
+                                          masked_windows)
         x = shortcut + att
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm2")(x)
@@ -618,10 +649,12 @@ class ProPainterGenerator(nn.Module):
 
     def forward_encoded(self, enc, completed_flows, masks_in, masks_updated,
                         num_local_frames: int, t_dilation: int = 2,
-                        frame_valid=None):
+                        frame_valid=None, masked_windows=None):
         """Post-encoder forward: enc [B, T, h, w, channel] from encode().
         Numerically identical to __call__ given matching inputs — the
-        encoder is the only stage that reads the frames themselves."""
+        encoder is the only stage that reads the frames themselves.
+        masked_windows: optional static hole-bearing window set for the
+        attention window-skip (see SparseWindowAttention)."""
         l_t = num_local_frames
         B, T, H, W, _ = masks_in.shape
         h, w = enc.shape[2:4]
@@ -666,7 +699,8 @@ class ProPainterGenerator(nn.Module):
         t_inds = [np.arange(i, T, t_dilation) for i in range(t_dilation)]
         for i, block in enumerate(self.transformers):
             tokens = block(tokens, (h, w), mask_pool,
-                           t_inds[i % t_dilation], frame_valid)
+                           t_inds[i % t_dilation], frame_valid,
+                           masked_windows)
 
         # soft-comp only the local tokens: the decoder consumes enc[:, :l_t]
         # alone, so sc on reference-frame tokens is dead compute (the
