@@ -80,25 +80,33 @@ class TestFourierUnit:
         np.testing.assert_allclose(np.asarray(back), x, atol=2e-5)
 
     def test_fourier_unit_matmul_vs_xla_path(self):
-        """FourierUnit output is identical whichever FFT backend runs."""
-        import os
+        """FourierUnit output is identical whichever FFT backend runs.
 
-        fu = FourierUnit(8)
+        The backend is a construction-time module field (ADVICE r4: an env
+        var read at trace time could silently disagree with executables
+        already compiled through cached_jit, whose key ignores the env)."""
         x = jnp.asarray(np.random.default_rng(3)
                         .standard_normal((2, 16, 24, 8)).astype(np.float32))
-        params = fu.init(jax.random.PRNGKey(0), x)
-        old = os.environ.get("VSR_LAMA_FFT")
-        try:
-            os.environ["VSR_LAMA_FFT"] = "matmul"
-            out_mm = np.asarray(fu.apply(params, x))
-            os.environ["VSR_LAMA_FFT"] = "xla"
-            out_xla = np.asarray(fu.apply(params, x))
-        finally:
-            if old is None:
-                os.environ.pop("VSR_LAMA_FFT", None)
-            else:
-                os.environ["VSR_LAMA_FFT"] = old
+        params = FourierUnit(8).init(jax.random.PRNGKey(0), x)
+        out_mm = np.asarray(FourierUnit(8, fft_impl="matmul").apply(params, x))
+        out_xla = np.asarray(FourierUnit(8, fft_impl="xla").apply(params, x))
         np.testing.assert_allclose(out_mm, out_xla, atol=5e-5)
+
+    def test_bf16_dft_parity_gate(self):
+        """Gate for the "matmul-bf16" DFT path (one MXU pass instead of
+        fp32/HIGHEST's six): with the production bf16 trunk, its FourierUnit
+        output must stay within 2% relative of the fp32-DFT path (measured
+        0.42% on this geometry — the bound is 5x that so regressions trip it,
+        rounding drift doesn't)."""
+        x = jnp.asarray(np.random.default_rng(4)
+                        .standard_normal((2, 16, 24, 8)).astype(np.float32))
+        params = FourierUnit(8).init(jax.random.PRNGKey(0), x)
+        a = np.asarray(FourierUnit(8, jnp.bfloat16, "matmul")
+                       .apply(params, x), np.float32)
+        b = np.asarray(FourierUnit(8, jnp.bfloat16, "matmul-bf16")
+                       .apply(params, x), np.float32)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel <= 0.02, rel
 
 
 @pytest.fixture(scope="module")
@@ -293,6 +301,82 @@ class TestLamaInpainterWrapper:
         ref = _cv2.cvtColor(_cv2.cvtColor(rows, _cv2.COLOR_BGR2YUV_I420),
                             _cv2.COLOR_YUV2BGR_I420)
         assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 3
+
+    def test_default_codec_quality_bound(self, inpainter, monkeypatch):
+        """Regression gate on the SHIPPED defaults (VSR_LAMA_H2D=i420 +
+        VSR_LAMA_BAND_D2H=i420, inpaint/lama.py:55,69) vs the bgr pins the
+        e2e reference differential runs under (VERDICT r4 #6): non-hole
+        bytes identical, and hole-region PSNR >= 48 dB / max|delta| <= 5
+        for video-like (smooth) predictions — the docstring's ±1/±2 claims
+        as an executable bound.
+
+        The predictor is a deterministic smooth stub (box-blurred fill)
+        because the codec chain's loss depends on the PREDICTION's chroma
+        content: a trained LaMa synthesizes smooth video-like fill (the
+        production case this bound certifies), while this file's tiny
+        RANDOM model emits chroma noise — the 4:2:0 worst case, measured
+        at 26.7 dB and asserted as a floor below so the pathological
+        regime stays characterized too."""
+        import cv2 as _cv2
+
+        class SmoothStub:
+            def apply(self, params, img, msk, train=False, out_rows=None):
+                x = img * (1.0 - msk)
+                k = 9
+                w = jnp.ones((k, k, 1, 1), jnp.float32) / (k * k)
+                blur = jax.lax.conv_general_dilated(
+                    x.transpose(0, 3, 1, 2).reshape(-1, 1, *x.shape[1:3]),
+                    w.transpose(3, 2, 0, 1), (1, 1), "SAME")
+                blur = blur.reshape(x.shape[0], 3,
+                                    *x.shape[1:3]).transpose(0, 2, 3, 1)
+                out = jnp.where(msk > 0, blur, img)
+                if out_rows is not None:
+                    r0, oh = out_rows
+                    out = jax.lax.dynamic_slice_in_dim(
+                        out, jnp.asarray(r0), oh, axis=1)
+                return out
+
+        cfg = Config()
+        cfg.compute_dtype = "float32"
+        smooth = LamaInpainter.__new__(LamaInpainter)
+        smooth.config = cfg
+        smooth.model = SmoothStub()
+        smooth.params = {}
+        smooth._build_forward()
+
+        rng = np.random.default_rng(21)
+        frames = []
+        for _ in range(4):
+            f = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+            f = _cv2.GaussianBlur(f, (0, 0), 3)
+            f = _cv2.cvtColor(_cv2.cvtColor(f, _cv2.COLOR_BGR2YUV_I420),
+                              _cv2.COLOR_YUV2BGR_I420)  # decoded-video manifold
+            frames.append(f)
+        mask = np.zeros((96, 128), np.uint8)
+        mask[80:92, 20:110] = 255
+        hole = mask > 0
+
+        def run(inp):
+            monkeypatch.setenv("VSR_LAMA_H2D", "i420")
+            monkeypatch.setenv("VSR_LAMA_BAND_D2H", "i420")
+            got = inp([f.copy() for f in frames], mask)
+            monkeypatch.setenv("VSR_LAMA_H2D", "bgr")
+            monkeypatch.setenv("VSR_LAMA_BAND_D2H", "bgr")
+            exact = inp([f.copy() for f in frames], mask)
+            psnrs = []
+            for src, g, e in zip(frames, got, exact):
+                np.testing.assert_array_equal(g[~hole], src[~hole])
+                d = g[hole].astype(np.float64) - e[hole].astype(np.float64)
+                psnrs.append(
+                    (10 * np.log10(255.0 ** 2 / max(np.mean(d * d), 1e-12)),
+                     np.abs(d).max()))
+            return psnrs
+
+        for psnr, dmax in run(smooth):  # production regime (measured 50.9-51.5)
+            assert psnr >= 48.0, f"smooth-prediction hole PSNR {psnr:.2f} dB"
+            assert dmax <= 5, f"smooth-prediction hole max|delta| {dmax}"
+        for psnr, _ in run(inpainter):  # chroma-noise worst case (measured 26.7)
+            assert psnr >= 24.0, f"noise-prediction hole PSNR {psnr:.2f} dB"
 
     def test_band_i420_d2h(self, inpainter, monkeypatch):
         """Default i420 D2H: non-mask pixels stay bit-exact to the input and

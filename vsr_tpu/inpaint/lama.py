@@ -155,10 +155,22 @@ class LamaInpainter:
         checkpoint_path: Optional[str] = None,
         config: Optional[Config] = None,
         n_blocks: int = 18,
+        mesh=None,
     ):
         self.config = config or Config()
+        # Multi-chip (SURVEY §2c): the band path's frame mini-batch is the
+        # natural shard axis — with a mesh, band batches round up to a
+        # multiple of the 'data' axis (tail frames pad, as on one chip) and
+        # the jitted forward constrains the batch dim to P("data"), so each
+        # chip runs B/n frames of the identical FFC program.
+        self.mesh = mesh
         dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
-        self.model = LamaGenerator(n_blocks=n_blocks, dtype=dtype)
+        # VSR_LAMA_FFT is resolved ONCE here: programs compile through
+        # cached_jit whose key ignores the environment, so a later env flip
+        # must not (and now cannot) silently leave stale executables in play.
+        self.model = LamaGenerator(
+            n_blocks=n_blocks, dtype=dtype,
+            fft_impl=os.environ.get("VSR_LAMA_FFT", "matmul"))
         self.params = load_or_init_params(
             self.model,
             (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 1))),
@@ -172,13 +184,26 @@ class LamaInpainter:
         contract."""
         from vsr_tpu.utils.exec_cache import cached_jit
 
+        def _shard_batch(x):
+            """Mesh mode: shard the frame batch over the 'data' axis (the
+            mask stays replicated — it broadcasts across the batch). Batches
+            that don't divide the axis (e.g. the picture path's MINI_BATCH)
+            stay unconstrained."""
+            mesh = getattr(self, "mesh", None)
+            if mesh is None or x.shape[0] % mesh.shape["data"]:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data")))
+
         def fwd(params, img_u8, mask_u8):
             # uint8 in, uint8 out: normalization and the final clip/cast run
             # on device so only uint8 crosses the (slow, tunnelled) link.
             # The mask may carry batch dim 1 (video band path: the constant
             # band mask is uploaded ONCE per band, not once per mini-batch —
             # it was 25% of H2D bytes) and broadcasts to the image batch.
-            img = img_u8.astype(jnp.float32) / 255.0
+            img = _shard_batch(img_u8).astype(jnp.float32) / 255.0
             msk = jnp.broadcast_to((mask_u8 > 0).astype(jnp.float32),
                                    img.shape[:3] + (1,))
             out = self.model.apply(params, img, msk)
@@ -196,6 +221,7 @@ class LamaInpainter:
             # are static. Non-mask pixels are restored bit-exact on the host
             # (paste blends only mask pixels), so the fetched rows only need
             # to be right INSIDE the mask.
+            raw_u8 = _shard_batch(raw_u8)
             if codec == "i420":
                 bgr = _i420_to_bgr_device(raw_u8)
                 img_u8 = jnp.clip(jnp.round(bgr), 0, 255).astype(jnp.uint8)
@@ -288,6 +314,22 @@ class LamaInpainter:
             self._inpaint_band(out, mask, band[0], band[1])
         return out
 
+    def _mesh_placements(self):
+        """(batch_sharding, replicated_sharding) for mesh mode, else (None,
+        None). Params/mask must be placed as mesh arrays BEFORE lowering —
+        single-device-committed inputs conflict with the program's
+        sharding constraints at compile time."""
+        if self.mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        if jax.tree_util.tree_leaves(self.params):
+            first = jax.tree_util.tree_leaves(self.params)[0]
+            if getattr(first, "sharding", None) != repl:
+                self.params = jax.device_put(self.params, repl)
+        return NamedSharding(self.mesh, P("data")), repl
+
     def _inpaint_band(self, out: List[np.ndarray], mask: np.ndarray,
                       ymin: int, ymax: int) -> None:
         """Inpaint one horizontal band in place across all frames.
@@ -313,6 +355,10 @@ class LamaInpainter:
         """
         dev = jax.devices()[0]
         B = band_batch()
+        batch_sharding, repl_sharding = self._mesh_placements()
+        if self.mesh is not None:  # one tail-padded shard per data device
+            n_dev = self.mesh.shape["data"]
+            B = -(-B // n_dev) * n_dev
         n = len(out)
         orig_h, orig_w = ymax - ymin, out[0].shape[1]
 
@@ -320,11 +366,20 @@ class LamaInpainter:
         full_band = d2h == "full"
         bucket = pad_bucket() if full_band else band_pad_bucket()
         d_mask = jax.device_put(
-            pad_to_modulo(mask[ymin:ymax], bucket)[None], dev)
+            pad_to_modulo(mask[ymin:ymax], bucket)[None],
+            repl_sharding or dev)
 
         # full-band compat mode implies exact uploads: it exists to reproduce
         # the reference's band overwrite byte-for-byte
         codec = "bgr" if full_band else h2d_codec()
+        pad_h = -(-orig_h // bucket) * bucket
+        pad_w = -(-orig_w // bucket) * bucket
+        if codec == "i420" and (pad_h % 4 or pad_w % 2):
+            # _i420_to_bgr_device's plane reshape assumes cv2's I420 packing,
+            # which only round-trips when the padded height is a multiple of
+            # 4 and the width is even (possible under a non-default
+            # VSR_LAMA_BAND_BUCKET) — mirror the d2h guard below.
+            codec = "bgr"
         if full_band:
             r0 = 0
             hole3 = None
@@ -360,7 +415,8 @@ class LamaInpainter:
                     if k < B:  # pad the tail: one program per bucket
                         chunk = chunk + [chunk[-1]] * (B - k)
                     arr = np.stack([encode(c) for c in chunk])
-                    q.put((jax.device_put(arr, dev), start, k))
+                    q.put((jax.device_put(arr, batch_sharding or dev),
+                           start, k))
                 q.put(None)
             except BaseException as e:  # surface in the consumer
                 q.put(e)

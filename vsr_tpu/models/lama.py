@@ -67,37 +67,46 @@ def _irdft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
         -np.sin(theta) * s).astype(np.float32)
 
 
-def _rfft2_matmul(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _rfft2_matmul(x: jnp.ndarray,
+                  precision=_HI) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """rfft2(x, axes=(1,2), norm='ortho') as MXU matmuls -> (re, im).
 
     XLA's TPU FFT lowering decomposes into ~800 sub-millisecond fusions per
     LaMa forward (148 of 190 ms device time at B=8, profiled round 4); the
     spectral grids here are tiny (H/8 × W/8), so two dense DFT matmuls per
-    axis run the whole thing on the MXU in well under a millisecond."""
+    axis run the whole thing on the MXU in well under a millisecond.
+
+    ``precision`` trades accuracy for MXU passes: HIGHEST (default) keeps the
+    fp32 parity the converter tests pin; DEFAULT runs the inputs' native
+    (bf16) MXU path — 1 pass instead of 6 — at a hole-PSNR cost gated by
+    tests/test_lama.py."""
     B, H, W, C = x.shape
-    hr, hi = (jnp.asarray(a) for a in _dft_mats(H))
-    xr = jnp.einsum("bhwc,hk->bkwc", x, hr, precision=_HI)
-    xi = jnp.einsum("bhwc,hk->bkwc", x, hi, precision=_HI)
-    wr, wi = (jnp.asarray(a) for a in _rdft_mats(W))
-    yr = jnp.einsum("bkwc,wm->bkmc", xr, wr, precision=_HI) - jnp.einsum(
-        "bkwc,wm->bkmc", xi, wi, precision=_HI)
-    yi = jnp.einsum("bkwc,wm->bkmc", xr, wi, precision=_HI) + jnp.einsum(
-        "bkwc,wm->bkmc", xi, wr, precision=_HI)
+    dt = x.dtype
+    hr, hi = (jnp.asarray(a, dt) for a in _dft_mats(H))
+    xr = jnp.einsum("bhwc,hk->bkwc", x, hr, precision=precision)
+    xi = jnp.einsum("bhwc,hk->bkwc", x, hi, precision=precision)
+    wr, wi = (jnp.asarray(a, dt) for a in _rdft_mats(W))
+    yr = jnp.einsum("bkwc,wm->bkmc", xr, wr, precision=precision) - jnp.einsum(
+        "bkwc,wm->bkmc", xi, wi, precision=precision)
+    yi = jnp.einsum("bkwc,wm->bkmc", xr, wi, precision=precision) + jnp.einsum(
+        "bkwc,wm->bkmc", xi, wr, precision=precision)
     return yr, yi
 
 
 def _irfft2_matmul(zr: jnp.ndarray, zi: jnp.ndarray, H: int,
-                   W: int) -> jnp.ndarray:
+                   W: int, precision=_HI) -> jnp.ndarray:
     """irfft2(zr + i·zi, s=(H, W), axes=(1,2), norm='ortho') via matmuls."""
-    er, ei = (jnp.asarray(a) for a in _dft_mats(H))
+    dt = zr.dtype
+    er, ei = (jnp.asarray(a, dt) for a in _dft_mats(H))
     # inverse DFT along H: conjugate-transpose of the (symmetric) forward
-    xr = jnp.einsum("bkmc,kh->bhmc", zr, er, precision=_HI) + jnp.einsum(
-        "bkmc,kh->bhmc", zi, ei, precision=_HI)
-    xi = jnp.einsum("bkmc,kh->bhmc", zi, er, precision=_HI) - jnp.einsum(
-        "bkmc,kh->bhmc", zr, ei, precision=_HI)
-    gr, gi = (jnp.asarray(a) for a in _irdft_mats(W))
-    return jnp.einsum("bhmc,mw->bhwc", xr, gr, precision=_HI) + jnp.einsum(
-        "bhmc,mw->bhwc", xi, gi, precision=_HI)
+    xr = jnp.einsum("bkmc,kh->bhmc", zr, er, precision=precision) + jnp.einsum(
+        "bkmc,kh->bhmc", zi, ei, precision=precision)
+    xi = jnp.einsum("bkmc,kh->bhmc", zi, er, precision=precision) - jnp.einsum(
+        "bkmc,kh->bhmc", zr, ei, precision=precision)
+    gr, gi = (jnp.asarray(a, dt) for a in _irdft_mats(W))
+    return jnp.einsum("bhmc,mw->bhwc", xr, gr,
+                      precision=precision) + jnp.einsum(
+        "bhmc,mw->bhwc", xi, gi, precision=precision)
 
 
 def _bn(train: bool, dtype, name: str):
@@ -109,19 +118,27 @@ def _bn(train: bool, dtype, name: str):
 class FourierUnit(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
-    # FFT backend ("matmul" | "xla"), pinned at module construction. The
-    # wrapper resolves VSR_LAMA_FFT ONCE when it builds the generator; an env
-    # var flipped later in a live process cannot affect programs already
-    # compiled through cached_jit (its key ignores the environment), so
-    # reading it at trace time would silently mislead A/B runs.
+    # FFT backend ("matmul" | "matmul-bf16" | "xla"), pinned at module
+    # construction. The wrapper resolves VSR_LAMA_FFT ONCE when it builds the
+    # generator; an env var flipped later in a live process cannot affect
+    # programs already compiled via cached_jit (its key ignores the
+    # environment), so reading it at trace time would silently mislead A/B
+    # runs. "matmul" runs the DFT matmuls in fp32/HIGHEST (converter-parity
+    # default); "matmul-bf16" runs them in the trunk dtype at DEFAULT
+    # precision — one MXU pass instead of six, hole-PSNR gated in
+    # tests/test_lama.py.
     fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
         use_matmul = self.fft_impl != "xla"
+        bf16 = self.fft_impl == "matmul-bf16"
         if use_matmul:
-            re, im = _rfft2_matmul(x.astype(jnp.float32))
+            if bf16:
+                re, im = _rfft2_matmul(x.astype(self.dtype), precision=None)
+            else:
+                re, im = _rfft2_matmul(x.astype(jnp.float32))
         else:
             ffted = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2),
                                   norm="ortho")
@@ -133,10 +150,16 @@ class FourierUnit(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(z)
         z = _bn(train, self.dtype, "bn")(z)
         z = nn.relu(z)
-        z = z.astype(jnp.float32).reshape(B, H, W // 2 + 1, self.features, 2)
-        if use_matmul:
+        if bf16:
+            z = z.reshape(B, H, W // 2 + 1, self.features, 2)
+            out = _irfft2_matmul(z[..., 0], z[..., 1], H, W, precision=None)
+        elif use_matmul:
+            z = z.astype(jnp.float32).reshape(B, H, W // 2 + 1,
+                                              self.features, 2)
             out = _irfft2_matmul(z[..., 0], z[..., 1], H, W)
         else:
+            z = z.astype(jnp.float32).reshape(B, H, W // 2 + 1,
+                                              self.features, 2)
             comp = z[..., 0] + 1j * z[..., 1]
             out = jnp.fft.irfft2(comp, s=(H, W), axes=(1, 2), norm="ortho")
         return out.astype(self.dtype)
