@@ -111,6 +111,15 @@ def main() -> None:
         _ListReader(frames[:clip]), _NullWriter(), mask, clip, (W, H)
     )
     _log(f"warmup pass: {time.perf_counter() - t0:.1f}s  loadavg {_loadavg()}")
+    # full-length untimed warm trial (VERDICT r4 #7): r04's trials improved
+    # monotonically for ~5 runs (4.38s -> 3.01s) — tunnel/service ramp-up,
+    # not host contention — which alone tripped the 20% spread gate. One
+    # throwaway full pass brings trial 1 to steady state.
+    t0 = time.perf_counter()
+    inpainter.process_video(
+        _ListReader(frames), _NullWriter(), mask, n_frames, (W, H))
+    _log(f"steady-state warm trial: {time.perf_counter() - t0:.1f}s  "
+         f"loadavg {_loadavg()}")
 
     def run_trial() -> float:
         reader = _ListReader(frames)

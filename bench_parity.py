@@ -32,17 +32,22 @@ DEFAULT_VIDEO = "/root/reference/test/test2.mp4"
 DEFAULT_IMAGE = "/root/reference/test/test.png"
 
 
-def trim_video(src: str, dst: str, max_frames: int) -> int:
+def trim_video(src: str, dst: str, max_frames: int, scale: float = 1.0) -> int:
     cap = cv2.VideoCapture(src)
     fps = cap.get(cv2.CAP_PROP_FPS) or 25
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    if scale != 1.0:  # smoke mode: shrink the pixels, keep the pipeline
+        w = max(64, int(w * scale)) // 16 * 16
+        h = max(64, int(h * scale)) // 16 * 16
     writer = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     n = 0
     while n < max_frames:
         ok, frame = cap.read()
         if not ok:
             break
+        if scale != 1.0:
+            frame = cv2.resize(frame, (w, h), interpolation=cv2.INTER_AREA)
         writer.write(frame)
         n += 1
     cap.release()
@@ -162,7 +167,18 @@ def main() -> int:
                     default="auto",
                     help="replace the (random-weight) DBNet with a fixed-band "
                          "detector; 'auto' enables it when --models is unset")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI bitrot gate (VERDICT r4 #1): forced-CPU backend, "
+                         "downscaled clip, few frames, raft_iters=2 — "
+                         "exercises every config's wiring end to end so this "
+                         "harness can never silently rot; throughput numbers "
+                         "from this mode are meaningless")
     args = ap.parse_args()
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.frames = min(args.frames, 8)
     skip = {int(s) for s in args.skip.split(",") if s}
     stub_detector = (args.stub_detector == "on"
                      or (args.stub_detector == "auto" and not args.models))
@@ -172,7 +188,8 @@ def main() -> int:
 
     workdir = tempfile.mkdtemp(prefix="vsr_parity_")
     video = os.path.join(workdir, "clip.mp4")
-    n_frames = trim_video(args.video, video, args.frames)
+    n_frames = trim_video(args.video, video, args.frames,
+                          scale=0.25 if args.smoke else 1.0)
     print(f"clip: {n_frames} frames from {args.video}")
     info = cv2.VideoCapture(video)
     W = int(info.get(cv2.CAP_PROP_FRAME_WIDTH))
@@ -190,6 +207,14 @@ def main() -> int:
     def cfg(mode):
         c = Config()
         c.inpaint_mode = mode
+        if args.smoke:
+            c.compute_dtype = "float32"  # CPU path; bf16 is TPU-tuned
+            c.propainter_raft_iters = 2
+            c.propainter_subvideo_length = 12
+            # get_sttn_max_load_num = max(load, stride*ref_len): shrink both
+            # terms or chunks pad to 50 production-size frames on the CPU
+            c.sttn_reference_length = 2
+            c.sttn_max_load_num = 10
         return c
 
     band_box = (band[2], band[3], band[0], band[1])  # (xmin,xmax,ymin,ymax)
@@ -286,6 +311,12 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"\nresults -> {args.out}")
+    # bitrot-fatal (VERDICT r4 #1/weak #6): any config error fails the run —
+    # CI and refresh_artifacts.sh both propagate this exit code
+    bad = [r["config"] for r in results if r.get("status") != "ok"]
+    if bad:
+        print(f"FAILED configs: {', '.join(bad)}", file=sys.stderr)
+        return 1
     return 0
 
 

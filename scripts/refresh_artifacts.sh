@@ -15,10 +15,12 @@ MODES_OUT="BENCH_MODES_r${ROUND}.json"
 echo "[refresh] bench_modes -> ${MODES_OUT}"
 python scripts/bench_modes.py --out "${MODES_OUT}"
 
+# FATAL on any config error (VERDICT r4 weak #6: the non-fatal guard here
+# let the harness rot silently for two rounds). Weightless environments are
+# fine — the harness stubs the detector and runs random weights; a config
+# that cannot even execute is exactly the breakage this must surface.
 echo "[refresh] bench_parity -> parity_results_r${ROUND#0}.json"
-if ! python bench_parity.py --out "parity_results_r${ROUND#0}.json"; then
-    echo "[refresh] bench_parity failed (non-fatal: requires weights/e2e env)"
-fi
+python bench_parity.py --out "parity_results_r${ROUND#0}.json"
 
 # staleness gate: every BENCH*/parity artifact must be newer than the last
 # commit that touched vsr_tpu/
