@@ -264,6 +264,9 @@ class TestProPainterE2E:
         from vsr_tpu.inpaint.propainter import PropainterInpainter
 
         monkeypatch.setenv("VSR_PP_DYNAMIC_WINDOWS", "1")
+        # bit-parity vs torch needs the fp32 correlation pyramid (the shipped
+        # default is bf16, parity-gated separately by TestBF16CorrParityGate)
+        monkeypatch.setenv("VSR_PP_CORR_DTYPE", "float32")
 
         import argparse
 

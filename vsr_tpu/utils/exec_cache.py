@@ -40,7 +40,7 @@ def cache_dir() -> Optional[str]:
     return val or _DEFAULT_DIR
 
 
-def _cache_key(lowered) -> str:
+def _cache_key(lowered, example_args=()) -> str:
     dev = jax.devices()[0]
     h = hashlib.sha256()
     h.update(lowered.as_text().encode())
@@ -48,6 +48,11 @@ def _cache_key(lowered) -> str:
     h.update(dev.platform.encode())
     h.update(getattr(dev, "device_kind", "").encode())
     h.update(str(len(jax.devices())).encode())  # sharded programs pin topology
+    # The call-side input pytree STRUCTURE must key too: a leafless arg (e.g.
+    # a None flag added to a signature) leaves the lowered HLO byte-identical
+    # while the serialized executable's in_tree changes — without this, a
+    # stale entry deserializes and rejects every call with a pytree mismatch.
+    h.update(str(jax.tree_util.tree_structure(example_args)).encode())
     return h.hexdigest()[:32]
 
 
@@ -160,7 +165,7 @@ def compile_cached(jitted: Callable, *example_args: Any):
     except ImportError:
         return lowered.compile()
 
-    key = _cache_key(lowered)
+    key = _cache_key(lowered, example_args)
     path = os.path.join(cdir, f"{key}.jaxexec")
     if os.path.exists(path):
         try:
