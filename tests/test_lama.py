@@ -340,6 +340,7 @@ class TestLamaInpainterWrapper:
         cfg.compute_dtype = "float32"
         smooth = LamaInpainter.__new__(LamaInpainter)
         smooth.config = cfg
+        smooth.mesh = None
         smooth.model = SmoothStub()
         smooth.params = {}
         smooth._build_forward()

@@ -319,7 +319,7 @@ class LamaInpainter:
         None). Params/mask must be placed as mesh arrays BEFORE lowering —
         single-device-committed inputs conflict with the program's
         sharding constraints at compile time."""
-        if self.mesh is None:
+        if getattr(self, "mesh", None) is None:
             return None, None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -356,7 +356,8 @@ class LamaInpainter:
         dev = jax.devices()[0]
         B = band_batch()
         batch_sharding, repl_sharding = self._mesh_placements()
-        if self.mesh is not None:  # one tail-padded shard per data device
+        if getattr(self, "mesh", None) is not None:
+            # one tail-padded shard per data device
             n_dev = self.mesh.shape["data"]
             B = -(-B // n_dev) * n_dev
         n = len(out)
