@@ -161,6 +161,33 @@ class TestABSections:
         record("marker_percent", "markerPercent", [100, 101], 100.0)
 
 
+class TestThemeResolution:
+    """Reference tools/theme_listener.py: the OS theme drives the palette
+    only in auto mode; explicit light/dark wins."""
+
+    def test_auto_follows_system(self):
+        assert sm.resolve_theme("auto", True) == "dark"
+        assert sm.resolve_theme("auto", False) == "light"
+        record("theme_auto_system_dark", "resolveTheme", ["auto", True],
+               "dark")
+        record("theme_auto_system_light", "resolveTheme", ["auto", False],
+               "light")
+
+    def test_explicit_choice_wins(self):
+        assert sm.resolve_theme("light", True) == "light"
+        assert sm.resolve_theme("dark", False) == "dark"
+        record("theme_explicit_light_wins", "resolveTheme", ["light", True],
+               "light")
+        record("theme_explicit_dark_wins", "resolveTheme", ["dark", False],
+               "dark")
+
+    def test_unknown_pref_falls_back_to_auto(self):
+        # corrupt localStorage value behaves like auto
+        assert sm.resolve_theme("blurple", True) == "dark"
+        record("theme_unknown_pref_auto", "resolveTheme", ["blurple", True],
+               "dark")
+
+
 class TestCrossLanguageContract:
     def test_vectors_snapshot_committed(self):
         """The committed vectors file matches this run (regenerate with
@@ -184,7 +211,8 @@ class TestCrossLanguageContract:
         assert int(re.search(r"MIN_SIZE:\s*(\d+)", js).group(1)) == sm.MIN_SIZE
         # every python api has a JS counterpart defined in the module
         for name in ["canvasPos", "scaleXY", "beginDrag", "applyDrag",
-                     "endDrag", "removeAt", "closeSection", "markerPercent"]:
+                     "endDrag", "removeAt", "closeSection", "markerPercent",
+                     "resolveTheme"]:
             assert re.search(rf"\b{name}\(", js), name
 
     def test_index_html_uses_the_module(self):
@@ -194,7 +222,21 @@ class TestCrossLanguageContract:
         for call in ["Selection.beginDrag", "Selection.applyDrag",
                      "Selection.endDrag", "Selection.removeAt",
                      "Selection.closeSection", "Selection.markerPercent",
-                     "Selection.canvasPos", "Selection.scaleXY"]:
+                     "Selection.canvasPos", "Selection.scaleXY",
+                     "Selection.resolveTheme"]:
             assert call in html, call
         # no leftover inline geometry (the old hand-rolled hit test)
         assert "Math.abs(vx-x1)" not in html
+
+    def test_index_html_theme_wiring(self):
+        """Theme system (reference tools/theme_listener.py analog): both
+        palettes defined, live OS-change listener, persisted pref."""
+        with open(os.path.join(GUI_DIR, "index.html")) as f:
+            html = f.read()
+        assert 'html[data-theme="light"]' in html
+        assert "prefers-color-scheme" in html
+        assert 'addEventListener("change", applyTheme)' in html
+        assert 'localStorage.getItem("vsr_theme")' in html
+        # themed surfaces use variables, not literals frozen to dark
+        for var in ["--btn", "--input", "--well"]:
+            assert html.count(var) >= 3, var  # defined twice + >=1 use

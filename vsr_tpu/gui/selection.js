@@ -96,6 +96,15 @@ const Selection = {
   markerPercent(frame, totalFrames) {
     return totalFrames < 2 ? 0 : 100 * frame / (totalFrames - 1);
   },
+
+  // theme resolution (reference: tools/theme_listener.py — darkdetect
+  // callback -> setTheme, with Theme.AUTO following the OS). pref is the
+  // persisted user choice "auto" | "light" | "dark"; systemDark is the
+  // OS preference (prefers-color-scheme). Returns the effective theme.
+  resolveTheme(pref, systemDark) {
+    if (pref === "light" || pref === "dark") return pref;
+    return systemDark ? "dark" : "light";
+  },
 };
 
 if (typeof module !== "undefined") module.exports = Selection;  // node tests

@@ -111,3 +111,16 @@ def close_section(pending_a: int, cur_frame: int) -> List[int]:
 def marker_percent(frame: int, total_frames: int) -> float:
     """Slider marker position as a percentage of the track."""
     return 0.0 if total_frames < 2 else 100.0 * frame / (total_frames - 1)
+
+
+def resolve_theme(pref: str, system_dark: bool) -> str:
+    """Effective theme from the persisted choice + the OS preference.
+
+    Mirror of ``Selection.resolveTheme``. Reference:
+    tools/theme_listener.py — the darkdetect callback maps the OS theme to
+    ``Theme.DARK``/``Theme.LIGHT`` and applies it only while the configured
+    mode is ``Theme.AUTO``; explicit light/dark choices win.
+    """
+    if pref in ("light", "dark"):
+        return pref
+    return "dark" if system_dark else "light"
